@@ -1,0 +1,78 @@
+"""gpusorting_tpu — a TPU-native sort execution engine.
+
+A from-scratch JAX/Pallas re-design with the capability surface of
+b0nes164/GPUSorting (LSD radix sort for keys and key-value pairs over
+u32/i32/f32, ascending/descending, stable; SplitSort-style segmented sort;
+test/validation/benchmark harnesses) plus a distributed multi-device layer
+the reference does not have.
+
+Quick start:
+    import gpusorting_tpu as gst
+    out = gst.sort(keys)                       # stable ascending
+    k, v = gst.sort_pairs(keys, values)        # stable pair sort
+    sorter = gst.OneSweep(gst.SortConfig(mode=gst.Mode.PAIRS))
+    sorter.test_all()
+"""
+
+from .core.config import (
+    Backend,
+    DeviceInfo,
+    EntropyPreset,
+    KeyType,
+    Mode,
+    Order,
+    PayloadType,
+    SortConfig,
+    TuningParameters,
+    get_device_info,
+    get_tuning_parameters,
+)
+from .ops import sort, sort_pairs
+from .api import (
+    DeviceRadixSort,
+    EmulatedDeadlocking,
+    FFXParallelSort,
+    ForwardSweep,
+    GPUSorterBase,
+    OneSweep,
+    TestReport,
+    super_test,
+)
+from .segsort.splitsort import (
+    SplitSorter,
+    split_sort_allocate_temp_memory,
+    split_sort_free_temp_memory,
+    split_sort_keys,
+    split_sort_pairs,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Backend",
+    "DeviceInfo",
+    "DeviceRadixSort",
+    "EmulatedDeadlocking",
+    "EntropyPreset",
+    "FFXParallelSort",
+    "ForwardSweep",
+    "GPUSorterBase",
+    "KeyType",
+    "Mode",
+    "OneSweep",
+    "Order",
+    "PayloadType",
+    "SortConfig",
+    "SplitSorter",
+    "TestReport",
+    "TuningParameters",
+    "get_device_info",
+    "get_tuning_parameters",
+    "sort",
+    "sort_pairs",
+    "split_sort_allocate_temp_memory",
+    "split_sort_free_temp_memory",
+    "split_sort_keys",
+    "split_sort_pairs",
+    "super_test",
+]

@@ -1,0 +1,270 @@
+"""Configuration types for the TPU sort engine.
+
+TPU-native re-design of the reference config surface:
+  - enums MODE/ORDER/KEY_TYPE/PAYLOAD_TYPE/ENTROPY_PRESET
+    (reference: GPUSortingD3D12/GPUSorting.h:14-87)
+  - TuningParameters chosen per device
+    (reference: GPUSortingD3D12/Tuner.h:895-927 — a PCI-device-id table;
+     here: a table keyed by TPU generation)
+  - DeviceInfo probe (reference: GPUSortingD3D12/GPUSortingD3D12.cpp:18-81)
+
+The reference specializes kernels via compiler defines with a closed set of
+allowed values (GPUSortBase.h:278-393).  The TPU equivalent is a frozen
+dataclass whose fields become `jit` static arguments / Python-level constants
+baked into `pallas_call` grids and block shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+class Mode(enum.Enum):
+    """Sorting mode (reference: GPUSorting.h `GPU_SORTING_MODE`)."""
+
+    KEYS_ONLY = "keys_only"
+    PAIRS = "pairs"
+
+
+class Order(enum.Enum):
+    """Sort direction (reference: GPUSorting.h `GPU_SORTING_ORDER`).
+
+    Descending matches the reference's semantics exactly: the final-pass
+    scatter index is flipped (SortCommon.hlsl `DescendingIndex`), which makes
+    the descending output the element-wise reverse of the stable ascending
+    output (ties appear in reverse of input order, as in the reference).
+    """
+
+    ASCENDING = "ascending"
+    DESCENDING = "descending"
+
+
+class KeyType(enum.Enum):
+    """Key element type (reference: GPUSorting.h `GPU_SORTING_KEY_TYPE`)."""
+
+    UINT32 = "uint32"
+    INT32 = "int32"
+    FLOAT32 = "float32"
+
+    @property
+    def dtype(self):
+        return {"uint32": jnp.uint32, "int32": jnp.int32, "float32": jnp.float32}[
+            self.value
+        ]
+
+
+class PayloadType(enum.Enum):
+    """Payload element type (reference: GPUSorting.h `GPU_SORTING_PAYLOAD_TYPE`).
+
+    UINT64/FLOAT64 extend the 32-bit set for the segmented sorter, which in the
+    reference accepts ``uint32_t`` or ``double`` payloads (SplitSort.cuh:702).
+    """
+
+    UINT32 = "uint32"
+    INT32 = "int32"
+    FLOAT32 = "float32"
+    UINT64 = "uint64"
+    FLOAT64 = "float64"
+
+    @property
+    def dtype(self):
+        return {
+            "uint32": jnp.uint32,
+            "int32": jnp.int32,
+            "float32": jnp.float32,
+            "uint64": jnp.uint64,
+            "float64": jnp.float64,
+        }[self.value]
+
+
+class EntropyPreset(enum.IntEnum):
+    """Thearling–Smith entropy presets (reference: GPUSorting.h / Utility.hlsl:65-75).
+
+    Preset k ANDs (k-1) extra PRNG draws into each key:
+      1 -> 1.000 bits/bit, 2 -> .811, 3 -> .544, 4 -> .337, 5 -> .201
+    """
+
+    E100 = 1
+    E081 = 2
+    E054 = 3
+    E033 = 4
+    E020 = 5
+
+    @property
+    def and_count(self) -> int:
+        return int(self) - 1
+
+    @property
+    def bits_per_bit(self) -> float:
+        return {1: 1.0, 2: 0.811, 3: 0.544, 4: 0.337, 5: 0.201}[int(self)]
+
+
+class Backend(enum.Enum):
+    """Which compute path executes the sort.
+
+    XLA     — jax.lax.sort based; correct everywhere (CPU included); the
+              cross-implementation oracle (the reference uses CUB the same
+              way: SplitSortTests.cuh:527-566).
+    PALLAS  — hand-written Pallas TPU kernels (the product path).
+    AUTO    — PALLAS on TPU, XLA elsewhere.
+    """
+
+    XLA = "xla"
+    PALLAS = "pallas"
+    AUTO = "auto"
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceInfo:
+    """TPU device capability probe.
+
+    Reference analog: `GetDeviceInfo` (GPUSortingD3D12.cpp:18-81) probes wave
+    width / shader model / atomics; here we probe TPU generation, core count
+    and memory sizes, which drive tile-size tuning.
+    """
+
+    platform: str
+    device_kind: str
+    generation: str  # "v4", "v5e", "v5p", "v6e", "cpu", ...
+    num_devices: int
+    hbm_bytes: int
+    vmem_bytes: int
+    hbm_gbps: float  # per-chip HBM bandwidth, GB/s (speed-of-light basis)
+
+    @property
+    def supports_pallas(self) -> bool:
+        return self.platform == "tpu"
+
+
+_TPU_GEN_TABLE = {
+    # generation: (hbm_bytes, vmem_bytes, hbm_GB/s)
+    "v4": (32 << 30, 16 << 20, 1228.0),
+    "v5e": (16 << 30, 16 << 20, 819.0),
+    "v5p": (95 << 30, 16 << 20, 2765.0),
+    "v6e": (32 << 30, 16 << 20, 1640.0),
+}
+
+
+def _tpu_generation(device_kind: str) -> str:
+    k = device_kind.lower().replace(" ", "")
+    if "v6" in k:
+        return "v6e"
+    if "v5p" in k:
+        return "v5p"
+    if "v5" in k and ("lite" in k or "e" in k.split("v5")[-1][:2]):
+        return "v5e"
+    if "v5" in k:
+        return "v5p"
+    if "v4" in k:
+        return "v4"
+    return "v5e"  # conservative default
+
+
+@functools.lru_cache(maxsize=None)
+def get_device_info() -> DeviceInfo:
+    """Probe the default JAX backend (reference: GPUSortingD3D12.cpp:18-81)."""
+    devs = jax.devices()
+    d = devs[0]
+    platform = d.platform
+    kind = getattr(d, "device_kind", platform)
+    if platform == "tpu":
+        gen = _tpu_generation(kind)
+        hbm, vmem, bw = _TPU_GEN_TABLE[gen]
+    else:
+        gen = platform
+        hbm, vmem, bw = (8 << 30), (16 << 20), 50.0
+    return DeviceInfo(
+        platform=platform,
+        device_kind=kind,
+        generation=gen,
+        num_devices=len(devs),
+        hbm_bytes=hbm,
+        vmem_bytes=vmem,
+        hbm_gbps=bw,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class TuningParameters:
+    """Per-device kernel tuning.
+
+    Reference analog: `TuningParameters {shouldLockWavesTo32, keysPerThread,
+    threadsPerThreadblock, partitionSize, totalSharedMemory}`
+    (GPUSorting.h:31-38), selected by a ~190-GPU table (Tuner.h:14-927).
+    On TPU the tunables are tile geometry and VMEM budgets instead.
+    """
+
+    # Keys per grid tile for the streaming radix passes (the PART_SIZE analog).
+    partition_rows: int  # rows of 128 keys per tile
+    # Radix bits resolved per partition pass of the MSD bucket path.
+    bucket_bits: int
+    # VMEM cap (elements) for an in-VMEM terminal sort block.
+    local_sort_cap: int
+    # VMEM budget the compiler may use, bytes.
+    vmem_limit_bytes: int
+
+    @property
+    def partition_size(self) -> int:
+        return self.partition_rows * 128
+
+
+_TUNING_TABLE = {
+    # generation -> (mode -> TuningParameters)
+    "v4": {
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+    },
+    "v5e": {
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+    },
+    "v5p": {
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+    },
+    "v6e": {
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+    },
+}
+_GENERIC_TUNING = {
+    Mode.KEYS_ONLY: TuningParameters(512, 7, 1 << 15, 64 << 20),
+    Mode.PAIRS: TuningParameters(512, 7, 1 << 15, 64 << 20),
+}
+
+
+def get_tuning_parameters(
+    info: DeviceInfo | None = None, mode: Mode = Mode.KEYS_ONLY
+) -> TuningParameters:
+    """Tuner::GetTuningParameters analog (reference: Tuner.h:895-927)."""
+    info = info or get_device_info()
+    table = _TUNING_TABLE.get(info.generation)
+    if table is None:
+        return _GENERIC_TUNING[mode]
+    return table[mode]
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Full sort configuration (reference: `GPUSortingConfig`, GPUSorting.h:70-76)."""
+
+    mode: Mode = Mode.KEYS_ONLY
+    order: Order = Order.ASCENDING
+    key_type: KeyType = KeyType.UINT32
+    payload_type: PayloadType = PayloadType.UINT32
+    backend: Backend = Backend.AUTO
+
+    def resolve_backend(self) -> Backend:
+        if self.backend != Backend.AUTO:
+            return self.backend
+        return Backend.PALLAS if get_device_info().supports_pallas else Backend.XLA
+
+
+ALL_KEY_TYPES = (KeyType.UINT32, KeyType.INT32, KeyType.FLOAT32)
+ALL_PAYLOAD_TYPES_32 = (PayloadType.UINT32, PayloadType.INT32, PayloadType.FLOAT32)
+ALL_ORDERS = (Order.ASCENDING, Order.DESCENDING)

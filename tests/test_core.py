@@ -1,0 +1,134 @@
+"""Core unit tests: codecs, PRNG, validators.
+
+Reference test strategy analog: SURVEY.md §4 (property-based oracle,
+payload==key stability convention).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpusorting_tpu.core import codec, prng
+from gpusorting_tpu.core.config import EntropyPreset, KeyType, Order
+from gpusorting_tpu.utils import validate
+
+
+class TestCodec:
+    def test_uint32_identity(self):
+        x = jnp.array([0, 1, 0xFFFFFFFF, 123], dtype=jnp.uint32)
+        np.testing.assert_array_equal(np.asarray(codec.encode_keys(x)), np.asarray(x))
+
+    def test_int32_order_preserving(self):
+        vals = np.array(
+            [-(2**31), -1, 0, 1, 2**31 - 1, -12345, 99999], dtype=np.int32
+        )
+        codes = np.asarray(codec.encode_keys(jnp.asarray(vals)))
+        assert (np.argsort(codes, kind="stable") == np.argsort(vals, kind="stable")).all()
+        back = np.asarray(codec.decode_keys(jnp.asarray(codes), KeyType.INT32))
+        np.testing.assert_array_equal(back, vals)
+
+    def test_float32_order_preserving(self):
+        vals = np.array(
+            [-np.inf, -1e30, -1.5, -0.0, 0.0, 1e-30, 1.5, np.inf], dtype=np.float32
+        )
+        codes = np.asarray(codec.encode_keys(jnp.asarray(vals)))
+        assert (np.diff(codes.astype(np.uint64)) > 0).sum() >= len(vals) - 2
+        # -0.0 and 0.0 map to distinct adjacent codes with -0.0 < 0.0
+        assert codes[3] < codes[4]
+        back = np.asarray(codec.decode_keys(jnp.asarray(codes), KeyType.FLOAT32))
+        np.testing.assert_array_equal(back.view(np.uint32), vals.view(np.uint32))
+
+    def test_float32_nan_total_order(self):
+        vals = np.array([np.nan, -np.nan, np.inf, -np.inf], dtype=np.float32)
+        codes = np.asarray(codec.encode_keys(jnp.asarray(vals)))
+        # +NaN above +inf, -NaN below -inf (radix total order)
+        assert codes[0] > codes[2]
+        assert codes[1] < codes[3]
+
+    def test_roundtrip_random(self):
+        bits = np.asarray(prng.hybrid_taus_bits(4096, seed=7))
+        for kt in (KeyType.UINT32, KeyType.INT32, KeyType.FLOAT32):
+            x = jnp.asarray(bits).view(kt.dtype)
+            rt = codec.decode_keys(codec.encode_keys(x), kt)
+            np.testing.assert_array_equal(
+                np.asarray(rt).view(np.uint32), np.asarray(x).view(np.uint32)
+            )
+
+
+class TestPrng:
+    def test_deterministic(self):
+        a = np.asarray(prng.hybrid_taus_bits(1000, seed=42))
+        b = np.asarray(prng.hybrid_taus_bits(1000, seed=42))
+        np.testing.assert_array_equal(a, b)
+        c = np.asarray(prng.hybrid_taus_bits(1000, seed=43))
+        assert (a != c).any()
+
+    def test_uniformity_full_entropy(self):
+        bits = np.asarray(prng.hybrid_taus_bits(1 << 16, seed=1))
+        ones = sum(int(((bits >> b) & 1).sum()) for b in range(32))
+        frac = ones / (32 * (1 << 16))
+        assert 0.49 < frac < 0.51
+
+    @pytest.mark.parametrize(
+        "preset,expect",
+        [
+            (EntropyPreset.E100, 0.5),
+            (EntropyPreset.E081, 0.25),
+            (EntropyPreset.E054, 0.125),
+            (EntropyPreset.E033, 0.0625),
+            (EntropyPreset.E020, 0.03125),
+        ],
+    )
+    def test_entropy_reduction_bit_bias(self, preset, expect):
+        """AND of k draws => P(bit==1) = 2^-k (Thearling–Smith)."""
+        bits = np.asarray(
+            prng.hybrid_taus_bits(1 << 15, seed=3, and_count=preset.and_count)
+        )
+        ones = sum(int(((bits >> b) & 1).sum()) for b in range(32))
+        frac = ones / (32 * (1 << 15))
+        assert abs(frac - expect) < 0.02
+
+    def test_pairs_payload_equals_key_bits(self):
+        k, v = prng.make_test_pairs(512, 9, jnp.float32, jnp.int32)
+        np.testing.assert_array_equal(
+            np.asarray(k).view(np.uint32), np.asarray(v).view(np.uint32)
+        )
+
+    def test_fixed_segments(self):
+        offs, cnt = prng.make_fixed_segments(1000, 100)
+        assert cnt == 10
+        np.testing.assert_array_equal(
+            np.asarray(offs), np.arange(10, dtype=np.uint32) * 100
+        )
+
+    def test_random_segments_budget(self):
+        offs, cnt = prng.make_random_segments(10000, 257, seed=5)
+        o = np.asarray(offs)
+        assert o[0] == 0 and (np.diff(o) >= 1).all() and (np.diff(o) <= 257).all()
+        assert o[-1] < 10000
+
+
+class TestValidators:
+    def test_order_violations(self):
+        good = jnp.array([1, 2, 2, 3], dtype=jnp.uint32)
+        bad = jnp.array([1, 3, 2, 4], dtype=jnp.uint32)
+        assert int(validate.count_order_violations(good)) == 0
+        assert int(validate.count_order_violations(bad)) == 1
+        assert int(validate.count_order_violations(jnp.flip(bad), Order.DESCENDING)) == 1
+
+    def test_scan_unit(self):
+        """All-ones scan == iota (reference: DeviceRadixSort.cpp:308-340)."""
+        ones = jnp.ones((256,), jnp.uint32)
+        scan = jnp.cumsum(ones) - 1
+        np.testing.assert_array_equal(np.asarray(scan), np.arange(256))
+
+    def test_segmented_violations(self):
+        keys = jnp.array([1, 5, 2, 9, 0, 3], dtype=jnp.uint32)
+        offs = jnp.array([0, 2, 4], dtype=jnp.uint32)
+        assert int(validate.count_segmented_violations(offs, keys)) == 0
+        keys2 = jnp.array([5, 1, 2, 9, 0, 3], dtype=jnp.uint32)
+        assert int(validate.count_segmented_violations(offs, keys2)) == 1
+
+    def test_identity_nan_safe(self):
+        a = jnp.array([np.nan, 1.0], dtype=jnp.float32)
+        assert int(validate.identical(a, a)) == 0

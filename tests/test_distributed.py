@@ -1,0 +1,79 @@
+"""Distributed-sort tests on the 8-device virtual CPU mesh (SURVEY.md §5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpusorting_tpu.core import codec, prng
+from gpusorting_tpu.parallel import dist_sort
+
+
+def test_mesh_has_8():
+    assert len(jax.devices()) == 8
+
+
+def test_distributed_keys_uniform(cpu_mesh):
+    n = 1 << 14
+    keys = prng.make_test_keys(n, seed=2)
+    out, overflow = dist_sort.distributed_sort_gather(keys, mesh=cpu_mesh)
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable")
+    )
+
+
+def test_distributed_pairs_stable(cpu_mesh):
+    n = 1 << 13
+    keys = (prng.hybrid_taus_bits(n, seed=4) & jnp.uint32(0x3F)).view(jnp.uint32)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    (out_k, out_v), overflow = dist_sort.distributed_sort_gather(
+        keys, vals, mesh=cpu_mesh
+    )
+    assert overflow == 0
+    perm = np.argsort(np.asarray(keys), kind="stable")
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(keys)[perm])
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(vals)[perm])
+
+
+def test_distributed_skewed_zipf(cpu_mesh):
+    """Zipf-skewed keys: capacity slack must absorb the skew or report it."""
+    rng = np.random.RandomState(0)
+    n = 1 << 13
+    keys = jnp.asarray(
+        np.minimum(rng.zipf(1.3, n), 0xFFFFFFF).astype(np.uint32)
+    )
+    out, overflow = dist_sort.distributed_sort_gather(
+        keys, mesh=cpu_mesh, slack=4.0, oversample=64
+    )
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable")
+    )
+
+
+def test_distributed_low_entropy(cpu_mesh):
+    """Thearling–Smith .201 bits/bit — adversarially duplicate-heavy."""
+    n = 1 << 13
+    keys = prng.make_test_keys(
+        n, seed=6, entropy=prng.EntropyPreset.E020
+    )
+    out, overflow = dist_sort.distributed_sort_gather(
+        keys, mesh=cpu_mesh, slack=8.0, oversample=64
+    )
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable")
+    )
+
+
+def test_distributed_f32(cpu_mesh):
+    n = 1 << 12
+    keys = prng.make_test_keys(n, seed=8, key_dtype=jnp.float32)
+    out, overflow = dist_sort.distributed_sort_gather(keys, mesh=cpu_mesh, slack=4.0)
+    assert overflow == 0
+    codes = np.asarray(codec.encode_keys(keys))
+    ref_codes = np.sort(codes, kind="stable")
+    np.testing.assert_array_equal(
+        np.asarray(codec.encode_keys(out)), ref_codes
+    )

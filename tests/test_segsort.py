@@ -1,0 +1,97 @@
+"""Segmented-sort tests mirroring the reference SplitSort matrix (SURVEY.md §4.9).
+
+Fast (property) checks + Full (oracle identity) checks over random/fixed
+segment lengths and BITS_TO_SORT values (SplitSortTests.cuh:488-566).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpusorting_tpu as gst
+from gpusorting_tpu.core import prng
+from gpusorting_tpu.utils import validate
+
+
+def numpy_segmented_oracle(offsets, keys, values=None):
+    o = np.asarray(offsets)
+    k = np.asarray(keys).copy()
+    v = None if values is None else np.asarray(values).copy()
+    bounds = list(o) + [len(k)]
+    for i in range(len(o)):
+        s, e = int(bounds[i]), int(bounds[i + 1])
+        from gpusorting_tpu.core import codec
+
+        perm = np.argsort(
+            np.asarray(codec.encode_keys(jnp.asarray(k[s:e]))), kind="stable"
+        )
+        k[s:e] = k[s:e][perm]
+        if v is not None:
+            v[s:e] = v[s:e][perm]
+    return k, v
+
+
+@pytest.mark.parametrize("seg_len", [1, 4, 32, 257, 4096])
+def test_fixed_length_segments(seg_len):
+    total = 1 << 14
+    offs, cnt = prng.make_fixed_segments(total, seg_len)
+    keys = prng.make_test_keys(total, seed=seg_len)
+    out = gst.split_sort_keys(offs, keys, cnt)
+    ref, _ = numpy_segmented_oracle(offs, keys)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+@pytest.mark.parametrize("max_len", [4, 64, 1024])
+def test_random_length_segments_pairs(max_len):
+    total = 1 << 13
+    offs, cnt = prng.make_random_segments(total, max_len, seed=max_len)
+    keys = prng.make_test_keys(total, seed=1 + max_len)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    out_k, out_v = gst.split_sort_pairs(offs, keys, vals, cnt, total)
+    ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
+    np.testing.assert_array_equal(np.asarray(out_k), ref_k)
+    np.testing.assert_array_equal(np.asarray(out_v), ref_v)  # stability
+
+
+@pytest.mark.parametrize("bits", [4, 8, 16, 24, 32])
+def test_bits_to_sort(bits):
+    """Masked keys honor the BITS_TO_SORT contract (SplitSort.cuh:702)."""
+    total = 1 << 12
+    offs, cnt = prng.make_random_segments(total, 100, seed=bits)
+    keys = prng.make_masked_random_values(total, bits, seed=bits).view(jnp.uint32)
+    out = gst.split_sort_keys(offs, keys, cnt, bits_to_sort=bits)
+    ref, _ = numpy_segmented_oracle(offs, keys)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert int(validate.count_segmented_violations(offs, out)) == 0
+
+
+def test_f64_payload():
+    """(u32, f64) pairs — the reference's 64-bit payload case."""
+    total = 4096
+    offs, cnt = prng.make_random_segments(total, 64, seed=77)
+    keys, vals = prng.make_test_pairs(total, 78, jnp.uint32, jnp.float64)
+    out_k, out_v = gst.split_sort_pairs(offs, keys, vals, cnt, total)
+    ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
+    np.testing.assert_array_equal(np.asarray(out_k), ref_k)
+    np.testing.assert_array_equal(np.asarray(out_v), ref_v)
+
+
+def test_single_giant_segment():
+    """>65536-length segment: the whole-buffer composite path."""
+    total = 1 << 17
+    offs = jnp.array([0], dtype=jnp.uint32)
+    keys = prng.make_test_keys(total, seed=99)
+    out = gst.split_sort_keys(offs, keys, 1)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable")
+    )
+
+
+def test_sorter_object_lifecycle():
+    total = 2048
+    offs, cnt = prng.make_fixed_segments(total, 128)
+    s = gst.SplitSorter(total, cnt)
+    keys = prng.make_test_keys(total, seed=5)
+    out = s.sort_keys(offs, keys)
+    assert int(validate.count_segmented_violations(offs, out)) == 0
+    s.close()
