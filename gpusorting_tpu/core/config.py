@@ -262,7 +262,10 @@ class SortConfig:
     def resolve_backend(self) -> Backend:
         if self.backend != Backend.AUTO:
             return self.backend
-        return Backend.PALLAS if get_device_info().supports_pallas else Backend.XLA
+        # AUTO resolves to XLA for now: the native network is bit-exact but
+        # does not yet beat jax.lax.sort at flagship sizes on this part
+        # (ops/radix.py docstring has the measurements and the roadmap).
+        return Backend.XLA
 
 
 ALL_KEY_TYPES = (KeyType.UINT32, KeyType.INT32, KeyType.FLOAT32)

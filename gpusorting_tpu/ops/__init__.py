@@ -15,7 +15,9 @@ from . import xla_sort
 
 def _resolve(backend: Backend) -> Backend:
     if backend == Backend.AUTO:
-        return Backend.PALLAS if get_device_info().supports_pallas else Backend.XLA
+        # XLA still wins at flagship sizes on this part; PALLAS is the
+        # explicit native-network opt-in (ops/radix.py docstring).
+        return Backend.XLA
     return backend
 
 
