@@ -28,6 +28,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import codec
 from ..core.config import Backend
@@ -46,6 +47,46 @@ def split_sort_allocate_temp_memory(total_seg_length: int, total_seg_count: int)
 def split_sort_free_temp_memory(handle) -> None:
     """API-parity shim (reference: SplitSort.cuh:692-697)."""
     del handle
+
+
+def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
+    """If every segment has the same length L, return L, else None.
+
+    The reference makes its bin dispatch on the host from a 16-word segInfo
+    readback (SplitSort.cuh:654-668); this host-side inspection of the
+    offsets array is the same pattern.
+    """
+    if isinstance(seg_offsets, jax.core.Tracer):
+        return None  # offsets not concrete under jit: composite path
+    offs = np.asarray(seg_offsets)
+    if offs.shape[0] != seg_count or seg_count == 0:
+        return None
+    if total_length % seg_count:
+        return None
+    L = total_length // seg_count
+    if offs[0] != 0:
+        return None
+    if not np.array_equal(offs, np.arange(seg_count, dtype=np.uint64) * L):
+        return None
+    return int(L)
+
+
+def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
+    """Fixed-length fast path: reshape to (S, L) and run one batched sort.
+
+    Measured on v5e: XLA's batched minor-axis sort runs 13-30+ Gelem/s vs
+    0.65 Gelem/s for the flat composite sort — a 20-50x win for binned
+    segments (probes/PROBES.md).  This is the TPU-native analog of the
+    reference's per-bin specialized kernels (SplitSort.cuh:751-930): the
+    "bin" is the static row length, the batch axis replaces the grid.
+    """
+    k2 = codes.reshape(seg_count, L)
+    if payload_bits is None:
+        (sk,) = jax.lax.sort((k2,), num_keys=1, is_stable=True, dimension=1)
+        return sk.reshape(-1), None
+    v2 = payload_bits.reshape(seg_count, L)
+    sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True, dimension=1)
+    return sk.reshape(-1), sv.reshape(-1)
 
 
 def _composite_segmented_sort(
@@ -108,9 +149,14 @@ def split_sort_pairs(
     codes = codec.encode_keys(keys)
     bits = None if values is None else codec.payload_to_bits(values)
 
-    sc, sb = _composite_segmented_sort(
-        seg_offsets, codes, bits, total_seg_count, bits_to_sort
-    )
+    total = keys.shape[0] if total_seg_length is None else total_seg_length
+    L = _fixed_length_of(seg_offsets, total, total_seg_count)
+    if L is not None and L > 1:
+        sc, sb = _batched_segmented_sort(codes, bits, total_seg_count, L)
+    else:
+        sc, sb = _composite_segmented_sort(
+            seg_offsets, codes, bits, total_seg_count, bits_to_sort
+        )
 
     out_k = codec.decode_keys(sc, kt)
     if values is None:
@@ -128,6 +174,67 @@ def split_sort_keys(
     return split_sort_pairs(
         seg_offsets, keys, None, total_seg_count, None, bits_to_sort, backend
     )
+
+
+# ---------------------------------------------------------------------------
+# Binning metadata (reference: SplitSortBinning.cuh — NextFitBinPacking,
+# 14-bucket histogram, BinningScan).  On TPU these are dispatch metadata,
+# computed host-side exactly like the reference's segInfo host readback.
+# ---------------------------------------------------------------------------
+
+# Reference bin upper bounds (SplitSort.cuh:740-930): 14 length classes.
+BIN_BOUNDS = (32, 64, 128, 256, 512, 1024, 2048, 4096, 6144, 8192,
+              16384, 32768, 65536, 131072)
+
+
+def segment_lengths(seg_offsets, total_length: int) -> np.ndarray:
+    """Lengths from the exclusive-prefix offsets array (host-side)."""
+    offs = np.asarray(seg_offsets, dtype=np.int64)
+    ends = np.append(offs[1:], np.int64(total_length))
+    return (ends - offs).astype(np.int64)
+
+
+def segment_length_histogram(lengths) -> dict:
+    """14-bucket histogram + large-segment stats (SplitSortBinning.cuh:360-438).
+
+    Returns {"counts": (14,), "gt_count": int, "gt_total_length": int} where
+    counts[i] = segments with BIN_BOUNDS[i-1] < len <= BIN_BOUNDS[i].
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    gt = lengths > BIN_BOUNDS[-1]
+    edges = np.array((0,) + BIN_BOUNDS, dtype=np.int64)
+    idx = np.searchsorted(edges, lengths[~gt], side="left")  # 1..14 in-range
+    counts = np.bincount(np.clip(idx, 1, len(BIN_BOUNDS)) - 1,
+                         minlength=len(BIN_BOUNDS))
+    return {
+        "counts": counts.astype(np.int64),
+        "gt_count": int(gt.sum()),
+        "gt_total_length": int(lengths[gt].sum()),
+    }
+
+
+def next_fit_bin_packing(lengths, bin_capacity: int = 32):
+    """Next-fit packing of <=capacity segments into capacity-sized bins.
+
+    Reference: NextFitBinPacking packs runs of <=32-length segments into
+    32-key bins so one warp sorts a whole bin (SplitSortBinning.cuh:360-438).
+    The TPU analog packs small segments into 128-lane rows for batched
+    sorting.  Returns (bin_id per segment, bin_count); segments longer than
+    capacity get bin_id -1.
+    """
+    lengths = np.asarray(lengths, dtype=np.int64)
+    bin_ids = np.full(lengths.shape, -1, dtype=np.int64)
+    fill = bin_capacity + 1  # force a new bin on first packable segment
+    b = -1
+    for i, l in enumerate(lengths):
+        if l > bin_capacity:
+            continue
+        if fill + l > bin_capacity:
+            b += 1
+            fill = 0
+        bin_ids[i] = b
+        fill += l
+    return bin_ids, b + 1
 
 
 class SplitSorter:

@@ -11,6 +11,8 @@ import pytest
 import gpusorting_tpu as gst
 from gpusorting_tpu.core import prng
 from gpusorting_tpu.utils import validate
+from gpusorting_tpu.ops import xla_sort
+from gpusorting_tpu.segsort import splitsort
 
 
 def numpy_segmented_oracle(offsets, keys, values=None):
@@ -95,3 +97,37 @@ def test_sorter_object_lifecycle():
     out = s.sort_keys(offs, keys)
     assert int(validate.count_segmented_violations(offs, out)) == 0
     s.close()
+
+
+def test_fixed_length_fast_path_bit_exact():
+    """Fixed-length segments route through the batched 2-D sort; output must
+    be identical to the composite/oracle path (CUB-identity analog)."""
+    total, L = 1 << 13, 32
+    offs, S = prng.make_fixed_segments(total, L)
+    keys = prng.make_test_keys(total, 11)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    k1, v1 = gst.split_sort_pairs(offs, keys, vals, S, total)
+    k2, v2 = xla_sort.segmented_sort_pairs(offs, keys, vals, total)
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_segment_length_histogram_reference_bins():
+    h = splitsort.segment_length_histogram([1, 32, 33, 64, 131072, 131073, 5000])
+    assert h["counts"].tolist() == [2, 2, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1]
+    assert h["gt_count"] == 1 and h["gt_total_length"] == 131073
+    assert h["counts"].sum() + h["gt_count"] == 7
+
+
+def test_next_fit_bin_packing_invariants():
+    """Packing invariants mirror the reference's binning validator
+    (UtilityKernels.cuh:660-862): per-bin totals <= capacity, big segments
+    unpacked, bin ids contiguous."""
+    rng = np.random.RandomState(0)
+    lengths = rng.randint(1, 50, size=500)
+    bins, nbins = splitsort.next_fit_bin_packing(lengths, 32)
+    assert (bins[lengths > 32] == -1).all()
+    for b in range(nbins):
+        assert lengths[bins == b].sum() <= 32
+    packed = np.unique(bins[bins >= 0])
+    assert packed.tolist() == list(range(nbins))
