@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Reference-parity benchmark suite (BASELINE.md §6 matrix).
+
+Reproduces the reference's published benchmark families on this chip:
+  - size sweep (OneSweep keys/sec for n = 2^10..2^26; reference Tests.h:392)
+  - Thearling-Smith entropy sweep (presets 1-5; reference Tests.h:370-419)
+  - keys vs pairs (reference GPUSortingCUDA.cu:20-49)
+  - SplitSort segment-length sweep, fixed-length bins (reference README.md:13-21,
+    Kobus et al. suite shape) + random-length composite path
+  - native (PALLAS) vs oracle (XLA) engine at selected sizes
+
+Harness rules follow the reference (utils/timing.py): warmup excluded, input
+regenerated per iteration with seed i+seed, sort-only timing.
+
+Emits one JSON line per benchmark to stdout and appends to
+benches/results_<device>.jsonl.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import gpusorting_tpu as gst
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.core.config import Backend, EntropyPreset
+    from gpusorting_tpu.ops import radix, xla_sort
+    from gpusorting_tpu.segsort import splitsort
+    from gpusorting_tpu.utils import timing
+
+    info = gst.get_device_info()
+    on_tpu = info.platform == "tpu"
+    tag = info.device_kind.replace(" ", "_")
+    outpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           f"results_{tag}.jsonl")
+    results = []
+
+    def emit(name, keys_per_sec, n, detail=None):
+        row = {
+            "bench": name,
+            "keys_per_sec": keys_per_sec,
+            "n": n,
+            "device": info.device_kind,
+            "detail": detail or {},
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    def batch_for(n):
+        return int(max(3, min(100, (1 << 26) // max(n, 1))))
+
+    # --- size sweep, keys-only u32, XLA engine (flagship path) ---
+    size_points = [10, 14, 18, 20, 22, 24, 26] if on_tpu else [10, 14]
+    for logn in size_points:
+        n = 1 << logn
+        res = timing.batch_timing(
+            lambda c: xla_sort.sort_keys_u32(c), n, batch=batch_for(n), seed=10)
+        emit(f"size_sweep_keys_2^{logn}", res["keys_per_sec"], n,
+             {"engine": "xla", "batch": res["batch"]})
+
+    # --- entropy sweep (Thearling-Smith presets 1-5) ---
+    n = 1 << 26 if on_tpu else 1 << 14
+    for preset in EntropyPreset:
+        res = timing.batch_timing(
+            lambda c: xla_sort.sort_keys_u32(c), n, batch=3, seed=10,
+            entropy=preset)
+        emit(f"entropy_{preset.bits_per_bit:.3f}", res["keys_per_sec"], n,
+             {"engine": "xla", "preset": int(preset)})
+
+    # --- pairs vs keys ---
+    for logn in ([22, 24, 26] if on_tpu else [14]):
+        n = 1 << logn
+        res = timing.batch_timing(
+            lambda c: xla_sort.sort_pairs_u32(c, c)[0], n,
+            batch=batch_for(n), seed=10)
+        emit(f"pairs_2^{logn}", res["keys_per_sec"], n, {"engine": "xla"})
+
+    # --- native engine vs oracle (TPU only: interpret mode is emulation) ---
+    for logn in ([20, 22, 24] if on_tpu else []):
+        n = 1 << logn
+        from gpusorting_tpu.ops import bitonic
+        res = timing.batch_timing(
+            lambda c: bitonic.sort_codes(c), n, batch=batch_for(n) // 2 + 1,
+            seed=10)
+        emit(f"native_network_keys_2^{logn}", res["keys_per_sec"], n,
+             {"engine": "pallas_network"})
+
+    # --- segmented sort sweep (fixed-length bins; Kobus-style) ---
+    total = 1 << 22 if on_tpu else 1 << 14
+    for L in ([32, 256, 4096] if on_tpu else [32]):
+        offs, S = prng.make_fixed_segments(total, L)
+
+        def seg_fn(codes, offs=offs, S=S):
+            k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
+            return k
+
+        res = timing.batch_timing(seg_fn, total, batch=5, seed=10)
+        emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
+             {"engine": "batched", "segments": int(S)})
+
+    # random-length composite path
+    offs, S = prng.make_random_segments(total, 1024, seed=3)
+
+    def seg_rand_fn(codes):
+        k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
+        return k
+
+    res = timing.batch_timing(seg_rand_fn, total, batch=3, seed=10)
+    emit("segsort_random_le1024_pairs", res["keys_per_sec"], total,
+         {"engine": "composite", "segments": int(S)})
+
+    with open(outpath, "a") as f:
+        stamp = {"ts": time.time(), "rows": results}
+        f.write(json.dumps(stamp) + "\n")
+    print(f"# wrote {len(results)} rows to {outpath}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -27,7 +27,7 @@ from .core.config import (
     get_device_info,
     get_tuning_parameters,
 )
-from .ops import sort, sort_pairs
+from .ops import sort, sort_pairs, sort_pairs_wide
 from .api import (
     DeviceRadixSort,
     EmulatedDeadlocking,
@@ -44,6 +44,7 @@ from .segsort.splitsort import (
     split_sort_free_temp_memory,
     split_sort_keys,
     split_sort_pairs,
+    split_sort_pairs_wide,
 )
 
 __version__ = "0.1.0"
@@ -70,9 +71,11 @@ __all__ = [
     "get_tuning_parameters",
     "sort",
     "sort_pairs",
+    "sort_pairs_wide",
     "split_sort_allocate_temp_memory",
     "split_sort_free_temp_memory",
     "split_sort_keys",
     "split_sort_pairs",
+    "split_sort_pairs_wide",
     "super_test",
 ]

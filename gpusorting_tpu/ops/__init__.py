@@ -43,6 +43,36 @@ def sort(
     return xla_sort.sort_keys(keys, order=order)
 
 
+def sort_pairs_wide(
+    keys: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    order: Order = Order.ASCENDING,
+    backend: Backend = Backend.AUTO,
+):
+    """Stable pair sort with a 64-bit payload as two u32 planes (lo, hi).
+
+    The TPU-native 64-bit payload representation: works regardless of the
+    jax x64 flag (64-bit dtypes silently truncate without it).
+    """
+    b = _resolve(backend)
+    if b == Backend.PALLAS:
+        from . import bitonic
+
+        from ..core import codec
+
+        kt = codec.key_type_of(keys)
+        sc, slo, shi = bitonic.sort_codes_stable_with(
+            codec.encode_keys(keys), lo.view(jnp.uint32), hi.view(jnp.uint32))
+        out_k = codec.decode_keys(sc, kt)
+        if order == Order.DESCENDING:
+            out_k = jnp.flip(out_k, axis=0)
+            slo = jnp.flip(slo, axis=0)
+            shi = jnp.flip(shi, axis=0)
+        return out_k, slo.view(lo.dtype), shi.view(hi.dtype)
+    return xla_sort.sort_pairs_wide(keys, lo, hi, order=order)
+
+
 def sort_pairs(
     keys: jnp.ndarray,
     values: jnp.ndarray,

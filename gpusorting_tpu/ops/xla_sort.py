@@ -57,6 +57,28 @@ def sort_pairs(
     return out_k, out_v
 
 
+def sort_pairs_wide(keys: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
+                    order: Order = Order.ASCENDING):
+    """Stable pair sort with a 64-bit payload carried as two u32 planes.
+
+    TPU has no 64-bit vector lanes and JAX truncates 64-bit dtypes unless
+    x64 is enabled, so (lo, hi) planes are the native representation of the
+    reference's 64-bit payloads (SplitSort payload V in {uint32_t, double},
+    SplitSort.cuh:702).  Both planes ride the same stable sort.
+    """
+    kt = codec.key_type_of(keys)
+    codes = codec.encode_keys(keys)
+    sc, slo, shi = jax.lax.sort(
+        (codes, lo.view(jnp.uint32), hi.view(jnp.uint32)),
+        num_keys=1, is_stable=True)
+    out_k = codec.decode_keys(sc, kt)
+    if order == Order.DESCENDING:
+        out_k = jnp.flip(out_k, axis=0)
+        slo = jnp.flip(slo, axis=0)
+        shi = jnp.flip(shi, axis=0)
+    return out_k, slo.view(lo.dtype), shi.view(hi.dtype)
+
+
 def segmented_sort_pairs(
     seg_offsets: jnp.ndarray,
     keys: jnp.ndarray,

@@ -164,6 +164,54 @@ def split_sort_pairs(
     return out_k, codec.bits_to_payload(sb, values.dtype)
 
 
+def split_sort_pairs_wide(
+    seg_offsets: jnp.ndarray,
+    keys: jnp.ndarray,
+    lo: jnp.ndarray,
+    hi: jnp.ndarray,
+    total_seg_count: int,
+    total_seg_length: int | None = None,
+    bits_to_sort: int = 32,
+):
+    """Segmented pair sort with a 64-bit payload as two u32 planes.
+
+    Covers the reference's ``SplitSortPairs<BITS, double>`` instantiation
+    (SplitSort.cuh:702; payload V in {uint32_t, double}) without requiring
+    the jax x64 flag: the two planes ride the same stable sort.
+    """
+    if not (4 <= bits_to_sort <= 32):
+        raise ValueError("bits_to_sort must be in [4, 32] (reference contract)")
+    kt = codec.key_type_of(keys)
+    codes = codec.encode_keys(keys)
+    lo32 = lo.view(jnp.uint32)
+    hi32 = hi.view(jnp.uint32)
+    total = keys.shape[0] if total_seg_length is None else total_seg_length
+    n = codes.shape[0]
+
+    L = _fixed_length_of(seg_offsets, total, total_seg_count)
+    if L is not None and L > 1:
+        S = total_seg_count
+        sc, slo, shi = jax.lax.sort(
+            (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L)),
+            num_keys=1, is_stable=True, dimension=1)
+        sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
+    else:
+        pos = jnp.arange(n, dtype=jnp.uint32)
+        seg_ids = (
+            jnp.searchsorted(seg_offsets, pos, side="right").astype(jnp.uint32)
+            - 1
+        )
+        seg_bits = _ceil_log2(total_seg_count) + 1
+        if seg_bits + bits_to_sort <= 32:
+            comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
+            _, sc, slo, shi = jax.lax.sort(
+                (comp, codes, lo32, hi32), num_keys=1, is_stable=True)
+        else:
+            _, sc, slo, shi = jax.lax.sort(
+                (seg_ids, codes, lo32, hi32), num_keys=2, is_stable=True)
+    return codec.decode_keys(sc, kt), slo.view(lo.dtype), shi.view(hi.dtype)
+
+
 def split_sort_keys(
     seg_offsets: jnp.ndarray,
     keys: jnp.ndarray,

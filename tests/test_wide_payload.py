@@ -1,0 +1,107 @@
+"""64-bit payload support: dual-u32-plane APIs + dtype-native x64 path.
+
+JAX silently truncates 64-bit dtypes unless x64 is enabled, and TPU has no
+64-bit vector lanes, so (lo, hi) u32 planes are the native representation of
+the reference's 64-bit payloads (SplitSort payload V in {uint32_t, double}).
+The dtype-native path (jnp.uint64/float64) is exercised in an x64 subprocess.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpusorting_tpu as gst
+from gpusorting_tpu.core import prng
+
+
+def _ref_wide(keys, lo, hi, descending=False):
+    codes = np.asarray(gst.core.codec.encode_keys(keys))
+    perm = np.argsort(codes, kind="stable")
+    if descending:
+        perm = perm[::-1]
+    return (np.asarray(keys)[perm], np.asarray(lo)[perm], np.asarray(hi)[perm])
+
+
+@pytest.mark.parametrize("backend", [gst.Backend.XLA, gst.Backend.PALLAS])
+def test_sort_pairs_wide(backend):
+    n = 3000
+    keys = prng.make_test_keys(n, seed=1, entropy=gst.EntropyPreset.E033)
+    lo = jnp.arange(n, dtype=jnp.uint32)
+    hi = prng.hybrid_taus_bits(n, seed=2)
+    k, slo, shi = gst.sort_pairs_wide(keys, lo, hi, backend=backend)
+    rk, rlo, rhi = _ref_wide(keys, lo, hi)
+    np.testing.assert_array_equal(np.asarray(k), rk)
+    np.testing.assert_array_equal(np.asarray(slo), rlo)
+    np.testing.assert_array_equal(np.asarray(shi), rhi)
+
+
+def test_sort_pairs_wide_descending():
+    n = 777
+    keys = prng.make_test_keys(n, seed=4)
+    lo = jnp.arange(n, dtype=jnp.uint32)
+    hi = lo + jnp.uint32(1)
+    k, slo, shi = gst.sort_pairs_wide(
+        keys, lo, hi, order=gst.Order.DESCENDING)
+    rk, rlo, rhi = _ref_wide(keys, lo, hi, descending=True)
+    np.testing.assert_array_equal(np.asarray(k), rk)
+    np.testing.assert_array_equal(np.asarray(slo), rlo)
+    np.testing.assert_array_equal(np.asarray(shi), rhi)
+
+
+@pytest.mark.parametrize("fixed", [True, False])
+def test_split_sort_pairs_wide(fixed):
+    total = 1 << 12
+    if fixed:
+        offs, S = prng.make_fixed_segments(total, 64)
+    else:
+        offs, S = prng.make_random_segments(total, 100, seed=5)
+    keys = prng.make_test_keys(total, seed=6)
+    lo = jnp.arange(total, dtype=jnp.uint32)
+    hi = prng.hybrid_taus_bits(total, seed=7)
+    k, slo, shi = gst.split_sort_pairs_wide(offs, keys, lo, hi, S, total)
+
+    # oracle: numpy per-segment stable sort carrying both planes
+    offs_np = np.asarray(offs)
+    ends = np.append(offs_np[1:], total)
+    kk, ll, hh = (np.asarray(keys).copy(), np.asarray(lo).copy(),
+                  np.asarray(hi).copy())
+    for s in range(S):
+        sl = slice(int(offs_np[s]), int(ends[s]))
+        perm = np.argsort(kk[sl], kind="stable")
+        kk[sl], ll[sl], hh[sl] = kk[sl][perm], ll[sl][perm], hh[sl][perm]
+    np.testing.assert_array_equal(np.asarray(k), kk)
+    np.testing.assert_array_equal(np.asarray(slo), ll)
+    np.testing.assert_array_equal(np.asarray(shi), hh)
+
+
+def test_dtype_native_64bit_under_x64():
+    """f64/u64 payload dtypes work end-to-end when jax x64 is enabled."""
+    code = """
+import os
+os.environ["JAX_ENABLE_X64"] = "1"
+import jax
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+import numpy as np, jax.numpy as jnp
+import gpusorting_tpu as gst
+n = 512
+rng = np.random.RandomState(0)
+keys = jnp.asarray(rng.randint(0, 64, size=n).astype(np.uint32))
+vals = jnp.asarray(rng.rand(n).astype(np.float64))
+assert vals.dtype == jnp.float64, vals.dtype
+k, v = gst.sort_pairs(keys, vals)
+perm = np.argsort(np.asarray(keys), kind="stable")
+np.testing.assert_array_equal(np.asarray(k), np.asarray(keys)[perm])
+np.testing.assert_array_equal(np.asarray(v), np.asarray(vals)[perm])
+print("X64OK")
+"""
+    env = dict(os.environ, JAX_ENABLE_X64="1")
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert "X64OK" in r.stdout, r.stdout + r.stderr
