@@ -57,6 +57,18 @@ def sort_pairs(
     return out_k, out_v
 
 
+def segment_ids_from_offsets(seg_offsets: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Per-element segment id from exclusive-prefix starts.
+
+    Scatter-ones + cumsum instead of searchsorted: TPU searchsorted
+    binary-searches per element (~0.01 Gelem/s measured); the scatter touches
+    only seg_count elements and the cumsum is a fast vector op.
+    """
+    marks = jnp.zeros((n,), jnp.uint32).at[seg_offsets].add(
+        jnp.uint32(1), mode="drop")
+    return jnp.cumsum(marks, dtype=jnp.uint32) - 1
+
+
 def sort_pairs_wide(keys: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
                     order: Order = Order.ASCENDING):
     """Stable pair sort with a 64-bit payload carried as two u32 planes.
@@ -93,11 +105,7 @@ def segmented_sort_pairs(
     reference's large-segment path uses (SplitSortLarge.cuh:1198-1289).
     """
     n = keys.shape[0] if total_length is None else total_length
-    # segment id per element: count of segment starts <= position
-    pos = jnp.arange(n, dtype=jnp.uint32)
-    seg_ids = (
-        jnp.searchsorted(seg_offsets, pos, side="right").astype(jnp.uint32) - 1
-    )
+    seg_ids = segment_ids_from_offsets(seg_offsets, n)
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
     if values is None:

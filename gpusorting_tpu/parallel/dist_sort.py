@@ -56,8 +56,13 @@ def _splitters_from_sample(sample_codes: jnp.ndarray, n_dev: int) -> jnp.ndarray
 
 
 def _bucket_of(codes: jnp.ndarray, splitters: jnp.ndarray) -> jnp.ndarray:
-    # destination device id in [0, D): count of splitters <= code
-    return jnp.searchsorted(splitters, codes, side="right").astype(jnp.int32)
+    """Destination device id in [0, D): count of splitters <= code.
+
+    Broadcast-compare sum instead of searchsorted: D-1 vectorized compares
+    beat TPU's per-element binary search (PROBES.md) for small D.
+    """
+    return jnp.sum(
+        codes[None, :] >= splitters[:, None], axis=0, dtype=jnp.int32)
 
 
 def _pack_buckets(codes, aux, bucket, n_dev: int, cap: int):
@@ -73,7 +78,11 @@ def _pack_buckets(codes, aux, bucket, n_dev: int, cap: int):
     order = jnp.argsort(bucket, stable=True)
     sorted_bucket = bucket[order]
     pos = jnp.arange(n, dtype=jnp.int32)
-    run_start = jnp.searchsorted(sorted_bucket, sorted_bucket, side="left")
+    # first index of each bucket run via a running max over change points
+    # (replaces searchsorted: TPU binary-searches per element)
+    change = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sorted_bucket[1:] != sorted_bucket[:-1]])
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(change, pos, 0))
     rank_sorted = pos - run_start
     rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
 

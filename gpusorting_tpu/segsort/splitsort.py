@@ -105,10 +105,7 @@ def _composite_segmented_sort(
     ceil((segIdBits + bits_to_sort)/8) passes.
     """
     n = codes.shape[0]
-    pos = jnp.arange(n, dtype=jnp.uint32)
-    seg_ids = (
-        jnp.searchsorted(seg_offsets, pos, side="right").astype(jnp.uint32) - 1
-    )
+    seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
     seg_bits = _ceil_log2(seg_count) + 1
     if seg_bits + bits_to_sort <= 32:
         # single fused u32 composite — fewest radix passes
@@ -196,11 +193,7 @@ def split_sort_pairs_wide(
             num_keys=1, is_stable=True, dimension=1)
         sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
     else:
-        pos = jnp.arange(n, dtype=jnp.uint32)
-        seg_ids = (
-            jnp.searchsorted(seg_offsets, pos, side="right").astype(jnp.uint32)
-            - 1
-        )
+        seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
         seg_bits = _ceil_log2(total_seg_count) + 1
         if seg_bits + bits_to_sort <= 32:
             comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
