@@ -82,7 +82,8 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     """
     k2 = codes.reshape(seg_count, L)
     if payload_bits is None:
-        (sk,) = jax.lax.sort((k2,), num_keys=1, is_stable=True, dimension=1)
+        # keys-only: unstable == stable on bare codes, and 2x faster on TPU
+        (sk,) = jax.lax.sort((k2,), num_keys=1, is_stable=False, dimension=1)
         return sk.reshape(-1), None
     v2 = payload_bits.reshape(seg_count, L)
     sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True, dimension=1)
@@ -111,14 +112,15 @@ def _composite_segmented_sort(
         # single fused u32 composite — fewest radix passes
         comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
         if payload_bits is None:
-            _, sc = jax.lax.sort((comp, codes), num_keys=1, is_stable=True)
+            # equal comp implies equal codes: unstable == stable here
+            _, sc = jax.lax.sort((comp, codes), num_keys=2, is_stable=False)
             return sc, None
         _, sc, sb = jax.lax.sort(
             (comp, codes, payload_bits), num_keys=1, is_stable=True
         )
         return sc, sb
     if payload_bits is None:
-        _, sc = jax.lax.sort((seg_ids, codes), num_keys=2, is_stable=True)
+        _, sc = jax.lax.sort((seg_ids, codes), num_keys=2, is_stable=False)
         return sc, None
     _, sc, sb = jax.lax.sort(
         (seg_ids, codes, payload_bits), num_keys=2, is_stable=True
