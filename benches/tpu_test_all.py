@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""On-hardware validation run: the reference's test program, on the real TPU.
+
+Mirrors the reference's executable test suites (GPUSortingD3D12.cpp:118-160,
+Tests.h): boundary-window sweeps, the 18-config super test, large sizes,
+entropy presets, segmented fixtures — all validated on device with on-device
+checks and a single error-count readback per test.
+
+Prints a per-suite PASS/FAIL report (reference style: "N / M passed").
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import gpusorting_tpu as gst
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.core.config import Backend, EntropyPreset, SortConfig
+    from gpusorting_tpu.segsort import splitsort
+    from gpusorting_tpu.utils import validate
+
+    t0 = time.time()
+    report = gst.api.TestReport()
+
+    # 1. boundary-window sweep on the XLA engine (thinned: each size is a
+    #    fresh XLA compile on this rig, so stride covers ~7 residues + edges)
+    s = gst.OneSweep(SortConfig(backend=Backend.XLA))
+    rep = s.test_all(boundary_window=4096, large_sizes=(1 << 21, (1 << 24) + 31),
+                     boundary_stride=683, report=report)
+    print(f"[boundary+large] {rep}", flush=True)
+
+    # 2. 18-config super test at a mid size
+    rep2 = gst.super_test(gst.OneSweep, sizes=(100_003,), backend=Backend.XLA)
+    print(f"[supertest 18cfg] {rep2}", flush=True)
+
+    # 3. entropy presets at 2^22, keys + stability pairs
+    ok = 0
+    for preset in EntropyPreset:
+        n = 1 << 22
+        keys, vals = prng.make_test_pairs(n, int(preset), entropy=preset)
+        k, v = gst.sort_pairs(keys, vals)
+        errs = int(validate.count_pair_violations(k, v))
+        ok += errs == 0
+    print(f"[entropy pairs] {ok} / {len(EntropyPreset)} passed", flush=True)
+
+    # 4. native PALLAS engine bit-identity vs XLA at 3 sizes
+    ok = 0
+    for n in (1 << 16, (1 << 18) + 77, 1 << 20):
+        keys = prng.make_test_keys(n, seed=n & 0xFFFF)
+        vals = jnp.arange(n, dtype=jnp.uint32)
+        a = gst.sort_pairs(keys, vals, backend=Backend.PALLAS)
+        b = gst.sort_pairs(keys, vals, backend=Backend.XLA)
+        same = all(
+            int(validate.identical(x, y)) == 0 for x, y in zip(a, b))
+        ok += same
+    print(f"[pallas==xla] {ok} / 3 passed", flush=True)
+
+    # 5. segmented: fixed-length bins + random lengths, on-device order check
+    ok = 0
+    total = 1 << 20
+    cases = [prng.make_fixed_segments(total, L) for L in (32, 512, 8192)]
+    cases.append(prng.make_random_segments(total, 2048, seed=9))
+    for offs, S in cases:
+        keys, vals = prng.make_test_pairs(total, 13)
+        k, v = gst.split_sort_pairs(offs, keys, vals, S, total)
+        errs = int(validate.count_segmented_violations(offs, k))
+        errs += int(validate.count_segmented_violations(offs, v))
+        ok += errs == 0
+    print(f"[segsort fixtures] {ok} / {len(cases)} passed", flush=True)
+
+    # 6. building-block kernels on hardware
+    from gpusorting_tpu.ops import kernels
+    n = 1 << 20
+    codes = prng.hybrid_taus_bits(n, seed=5)
+    hist = kernels.global_histogram(codes)
+    arr = np.asarray(codes)
+    hok = all(
+        (np.asarray(hist[p]) == np.bincount((arr >> (8 * p)) & 255,
+                                            minlength=256)).all()
+        for p in range(4))
+    scan = kernels.exclusive_scan(jnp.ones((n,), jnp.int32))
+    sok = (np.asarray(scan) == np.arange(n)).all()
+    print(f"[kernels] hist={'PASS' if hok else 'FAIL'} "
+          f"scan={'PASS' if sok else 'FAIL'}", flush=True)
+
+    total_pass = report.passed + rep2.passed
+    total_all = total_pass + report.failed + rep2.failed
+    print(f"[TOTAL] {total_pass} / {total_all} sweep tests passed; "
+          f"wall {time.time()-t0:.0f}s", flush=True)
+
+
+if __name__ == "__main__":
+    main()

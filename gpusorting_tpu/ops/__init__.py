@@ -13,6 +13,16 @@ from ..core.config import Backend, Order, get_device_info
 from . import xla_sort
 
 
+def _check_lengths(keys, *others):
+    """Friendly shape errors (the reference asserts sizes, GPUSortBase.cs)."""
+    if keys.ndim != 1:
+        raise ValueError(f"keys must be 1-D, got shape {keys.shape}")
+    for o in others:
+        if o.shape != keys.shape:
+            raise ValueError(
+                f"payload shape {o.shape} != keys shape {keys.shape}")
+
+
 def _resolve(backend: Backend) -> Backend:
     if backend == Backend.AUTO:
         # XLA still wins at flagship sizes on this part; PALLAS is the
@@ -35,6 +45,7 @@ def sort(
     (README.md:5-15).  Backends may implement variants identically when the
     distinction is meaningless on TPU; outputs are identical by contract.
     """
+    _check_lengths(keys)
     b = _resolve(backend)
     if b == Backend.PALLAS:
         from . import radix
@@ -55,6 +66,7 @@ def sort_pairs_wide(
     The TPU-native 64-bit payload representation: works regardless of the
     jax x64 flag (64-bit dtypes silently truncate without it).
     """
+    _check_lengths(keys, lo, hi)
     b = _resolve(backend)
     if b == Backend.PALLAS:
         from . import bitonic
@@ -81,6 +93,7 @@ def sort_pairs(
     variant: str = "onesweep",
 ):
     """Stable sort of (keys, payload) pairs; payload moved by bit pattern."""
+    _check_lengths(keys, values)
     b = _resolve(backend)
     if b == Backend.PALLAS:
         from . import radix

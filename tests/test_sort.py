@@ -106,3 +106,13 @@ def test_payload_f32_bit_preserved():
     np.testing.assert_array_equal(
         np.asarray(out_v).view(np.uint32), ref_v.view(np.uint32)
     )
+
+
+def test_shape_errors():
+    keys = jnp.zeros((16,), jnp.uint32)
+    with pytest.raises(ValueError):
+        gst.sort_pairs(keys, jnp.zeros((8,), jnp.uint32))
+    with pytest.raises(ValueError):
+        gst.sort(jnp.zeros((4, 4), jnp.uint32))
+    with pytest.raises(ValueError):
+        gst.sort_pairs_wide(keys, jnp.zeros((16,), jnp.uint32), jnp.zeros((8,), jnp.uint32))
