@@ -110,8 +110,10 @@ class Backend(enum.Enum):
     XLA     — jax.lax.sort based; correct everywhere (CPU included); the
               cross-implementation oracle (the reference uses CUB the same
               way: SplitSortTests.cuh:527-566).
-    PALLAS  — hand-written Pallas TPU kernels (the product path).
-    AUTO    — PALLAS on TPU, XLA elsewhere.
+    PALLAS  — hand-written Pallas TPU kernels (the native engine).
+    AUTO    — the fastest correct engine for the platform; currently XLA
+              everywhere (the native network is bit-exact but slower at
+              flagship sizes — ops/radix.py has the measurements).
     """
 
     XLA = "xla"
@@ -199,18 +201,31 @@ class TuningParameters:
     On TPU the tunables are tile geometry and VMEM budgets instead.
     """
 
-    # Keys per grid tile for the streaming radix passes (the PART_SIZE analog).
+    # Keys per grid tile for the streaming passes (the PART_SIZE analog);
+    # consumed by ops.kernels (histogram/scan tile height).
     partition_rows: int  # rows of 128 keys per tile
     # Radix bits resolved per partition pass of the MSD bucket path.
     bucket_bits: int
     # VMEM cap (elements) for an in-VMEM terminal sort block.
     local_sort_cap: int
-    # VMEM budget the compiler may use, bytes.
+    # VMEM budget the compiler may use, bytes; consumed by ops.bitonic and
+    # ops.kernels as CompilerParams(vmem_limit_bytes=...).
     vmem_limit_bytes: int
 
     @property
     def partition_size(self) -> int:
         return self.partition_rows * 128
+
+    def network_tile_rows(self, num_ops: int) -> int:
+        """Fused-stage tile height for the sorting network (ops.bitonic).
+
+        Sized so num_ops operands x (in + out + peers + pipeline) buffers of
+        (rows, 128) i32 fit the VMEM budget; rounded down to a power of two
+        (the network needs pow2 tiles).
+        """
+        budget = self.vmem_limit_bytes
+        rows = max(8, budget // (num_ops * 128 * 4 * 10))
+        return 1 << (rows.bit_length() - 1)
 
 
 _TUNING_TABLE = {

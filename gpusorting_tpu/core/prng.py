@@ -94,6 +94,11 @@ def make_test_pairs(
     if jnp.dtype(payload_dtype).itemsize == 8:
         # 64-bit payloads carry the key bits value-preservingly so the
         # payload-order stability oracle still applies.
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "64-bit payload fixtures need jax_enable_x64 (JAX silently "
+                "truncates 64-bit dtypes otherwise); use the dual-u32-plane "
+                "APIs (sort_pairs_wide / split_sort_pairs_wide) instead")
         wide = bits.astype(jnp.uint64)
         if jnp.dtype(payload_dtype) == jnp.float64:
             return keys, wide.astype(jnp.float64)

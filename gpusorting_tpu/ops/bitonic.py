@@ -48,10 +48,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# Tile sizes (rows of 128) for the fused local-stage kernel, by operand count.
-_TILE_ROWS_BY_OPS = {1: 1 << 14, 2: 1 << 13, 3: 1 << 12, 4: 1 << 12, 5: 1 << 11}
-# Scoped-VMEM budget for the compiler (default is 16 MB; chip has >=120 MB).
-_VMEM_LIMIT = 110 << 20
+
+
+def _tuning():
+    from ..core.config import get_tuning_parameters
+
+    return get_tuning_parameters()
 
 _SIGN = jnp.int32(-0x80000000)
 
@@ -162,7 +164,8 @@ def _build_local_pass(num_ops, num_keys, tile_rows, num_stages, grid,
             out_shape=tuple(
                 jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
                 for _ in range(num_ops)),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
             interpret=interpret,
         )(sched, *args)
     return call
@@ -188,7 +191,8 @@ def _build_global_stage(num_ops, num_keys, tile_rows, grid, jblocks, interpret):
             out_shape=tuple(
                 jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
                 for _ in range(num_ops)),
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
             interpret=interpret,
         )(jk, *ops, *ops)
     return call
@@ -211,7 +215,7 @@ def sort_network_i32(operands, num_keys: int, interpret: bool | None = None):
     num_ops = len(operands)
     N = max(1024, 1 << (n - 1).bit_length())
     R = N // LANES
-    tile_rows = min(_TILE_ROWS_BY_OPS.get(num_ops, 1 << 11), R)
+    tile_rows = min(_tuning().network_tile_rows(num_ops), R)
     tile_elems = tile_rows * LANES
     grid = R // tile_rows
 

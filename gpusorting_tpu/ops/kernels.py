@@ -36,7 +36,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-_VMEM_LIMIT = 100 << 20
+
+
+def _tuning():
+    from ..core.config import get_tuning_parameters
+
+    return get_tuning_parameters()
 
 
 def _is_tpu() -> bool:
@@ -89,7 +94,8 @@ def _build_hist(rows: int, tile_rows: int, passes: int, interpret: bool):
             out_specs=pl.BlockSpec((passes, 16, 16), lambda i: (0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((passes, 16, 16), jnp.int32),
             scratch_shapes=[pltpu.VMEM((passes, 16, 16), jnp.int32)],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
             interpret=interpret,
         )(x)
 
@@ -107,7 +113,7 @@ def global_histogram(codes: jnp.ndarray, passes: int = 4,
         interpret = not _is_tpu()
     n = codes.shape[0]
     rows = max(8, -(-n // LANES))
-    tile_rows = min(2048, rows)
+    tile_rows = min(_tuning().partition_rows, rows)
     rows = -(-rows // tile_rows) * tile_rows
     pad = rows * LANES - n
     if pad:
@@ -165,7 +171,8 @@ def _build_scan(rows: int, tile_rows: int, interpret: bool):
             out_specs=pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
-            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
             interpret=interpret,
         )(x)
 
@@ -180,7 +187,7 @@ def exclusive_scan(values: jnp.ndarray,
     n = values.shape[0]
     dt = values.dtype
     rows = max(8, -(-n // LANES))
-    tile_rows = min(4096, rows)
+    tile_rows = min(2 * _tuning().partition_rows, rows)
     rows = -(-rows // tile_rows) * tile_rows
     pad = rows * LANES - n
     x = values.view(jnp.int32) if dt == jnp.uint32 else values

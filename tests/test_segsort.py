@@ -67,15 +67,33 @@ def test_bits_to_sort(bits):
     assert int(validate.count_segmented_violations(offs, out)) == 0
 
 
-def test_f64_payload():
-    """(u32, f64) pairs — the reference's 64-bit payload case."""
+def test_f64_payload_wide_planes():
+    """(u32, f64) pairs — the reference's 64-bit payload case, carried as
+    dual u32 planes (the dtype-native x64 path is tested in
+    tests/test_wide_payload.py; 64-bit jnp dtypes truncate without x64)."""
     total = 4096
     offs, cnt = prng.make_random_segments(total, 64, seed=77)
-    keys, vals = prng.make_test_pairs(total, 78, jnp.uint32, jnp.float64)
-    out_k, out_v = gst.split_sort_pairs(offs, keys, vals, cnt, total)
-    ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
-    np.testing.assert_array_equal(np.asarray(out_k), ref_k)
-    np.testing.assert_array_equal(np.asarray(out_v), ref_v)
+    keys = prng.make_test_keys(total, 78)
+    f64bits = np.random.RandomState(1).rand(total).view(np.uint64)
+    lo = jnp.asarray((f64bits & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((f64bits >> 32).astype(np.uint32))
+    out_k, out_lo, out_hi = gst.split_sort_pairs_wide(
+        offs, keys, lo, hi, cnt, total)
+    offs_np = np.asarray(offs); ends = np.append(offs_np[1:], total)
+    kk, ll, hh = (np.asarray(keys).copy(), np.asarray(lo).copy(),
+                  np.asarray(hi).copy())
+    for s in range(cnt):
+        sl = slice(int(offs_np[s]), int(ends[s]))
+        perm = np.argsort(kk[sl], kind="stable")
+        kk[sl], ll[sl], hh[sl] = kk[sl][perm], ll[sl][perm], hh[sl][perm]
+    np.testing.assert_array_equal(np.asarray(out_k), kk)
+    np.testing.assert_array_equal(np.asarray(out_lo), ll)
+    np.testing.assert_array_equal(np.asarray(out_hi), hh)
+
+
+def test_make_test_pairs_64bit_guard():
+    with pytest.raises(ValueError):
+        prng.make_test_pairs(64, 1, jnp.uint32, jnp.float64)
 
 
 def test_single_giant_segment():
