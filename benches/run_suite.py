@@ -55,7 +55,8 @@ def main():
         print(json.dumps(row), flush=True)
 
     def batch_for(n):
-        return int(max(3, min(100, (1 << 26) // max(n, 1))))
+        # enough iterations that the timed loop dwarfs harness noise
+        return int(max(3, min(20000, (1 << 28) // max(n, 1))))
 
     # --- size sweep, keys-only u32, XLA engine (flagship path) ---
     size_points = [10, 14, 18, 20, 22, 24, 26] if on_tpu else [10, 14]

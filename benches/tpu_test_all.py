@@ -90,6 +90,16 @@ def main():
     print(f"[kernels] hist={'PASS' if hok else 'FAIL'} "
           f"scan={'PASS' if sok else 'FAIL'}", flush=True)
 
+    # 7. distributed path compiles and runs on real hardware (1-chip mesh)
+    from gpusorting_tpu.parallel import dist_sort
+    mesh = dist_sort.make_mesh(1)
+    nkeys = 1 << 16
+    dkeys = prng.make_test_keys(nkeys, seed=21)
+    out, overflow = dist_sort.distributed_sort_gather(dkeys, mesh=mesh)
+    dok = (overflow == 0 and
+           (np.asarray(out) == np.sort(np.asarray(dkeys))).all())
+    print(f"[distributed 1-chip] {'PASS' if dok else 'FAIL'}", flush=True)
+
     total_pass = report.passed + rep2.passed
     total_all = total_pass + report.failed + rep2.failed
     print(f"[TOTAL] {total_pass} / {total_all} sweep tests passed; "
