@@ -248,8 +248,8 @@ def compact(values: jnp.ndarray, mask: jnp.ndarray,
     dt = values.dtype
     rows = max(_BLK, -(-n // LANES))
     # 2048 rows measured best on v5e (5.8 Gelem/s at 2^24; bigger tiles gain
-    # nothing and compile slower)
-    tile_rows = min(2048, rows)
+    # nothing and compile slower); tiles must be whole _BLK blocks
+    tile_rows = min(2048, -(-rows // _BLK) * _BLK)
     rows = -(-rows // tile_rows) * tile_rows
     pad = rows * LANES - n
     x = values.view(jnp.int32) if dt == jnp.uint32 else values
