@@ -18,6 +18,30 @@ from ..core import codec
 from ..core.config import Order
 
 
+# Size bucketing: pad sorts up to ~12.5%-granularity size buckets with MAX
+# sentinels so nearby sizes share one compiled program.  On this rig each
+# distinct shape costs a 5-20 s remote AOT compile, which makes the
+# reference's boundary-exhaustive size sweeps (one sort per size,
+# GPUSortBase.h:245-248) pathological without bucketing.  Outputs are
+# identical: sentinels sort to the padded tail (stable sorts keep real
+# MAX-code elements ahead of appended pads) and are sliced off.
+SIZE_BUCKETING = True
+
+
+def _bucket_n(n: int) -> int:
+    if not SIZE_BUCKETING or n <= 2048:
+        return n
+    g = max(2048, 1 << (n.bit_length() - 4))  # 1/8 of the octave
+    return -(-n // g) * g
+
+
+def _pad(arr: jnp.ndarray, b: int, fill) -> jnp.ndarray:
+    n = arr.shape[0]
+    if b == n:
+        return arr
+    return jnp.concatenate([arr, jnp.full((b - n,), fill, arr.dtype)])
+
+
 def sort_keys_u32(codes: jnp.ndarray) -> jnp.ndarray:
     """Ascending sort of uint32 key codes.
 
@@ -25,12 +49,23 @@ def sort_keys_u32(codes: jnp.ndarray) -> jnp.ndarray:
     identical to a stable sort — and XLA's unstable sort is 2.0x faster on
     TPU (92 vs 185 ms at 2^26 on v5e; benches/RESULTS.md).
     """
-    return jax.lax.sort((codes,), num_keys=1, is_stable=False)[0]
+    n = codes.shape[0]
+    b = _bucket_n(n)
+    out = jax.lax.sort(
+        (_pad(codes, b, jnp.uint32(0xFFFFFFFF)),), num_keys=1,
+        is_stable=False)[0]
+    return out[:n]
 
 
 def sort_pairs_u32(codes: jnp.ndarray, payload_bits: jnp.ndarray):
     """Stable ascending sort of (u32 code, payload-bit-carrier) pairs."""
-    return jax.lax.sort((codes, payload_bits), num_keys=1, is_stable=True)
+    n = codes.shape[0]
+    b = _bucket_n(n)
+    sc, sb = jax.lax.sort(
+        (_pad(codes, b, jnp.uint32(0xFFFFFFFF)),
+         _pad(payload_bits, b, jnp.zeros((), payload_bits.dtype))),
+        num_keys=1, is_stable=True)
+    return sc[:n], sb[:n]
 
 
 def sort_keys(keys: jnp.ndarray, order: Order = Order.ASCENDING) -> jnp.ndarray:
@@ -85,9 +120,14 @@ def sort_pairs_wide(keys: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     """
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
+    n = codes.shape[0]
+    b = _bucket_n(n)
+    z = jnp.zeros((), jnp.uint32)
     sc, slo, shi = jax.lax.sort(
-        (codes, lo.view(jnp.uint32), hi.view(jnp.uint32)),
+        (_pad(codes, b, jnp.uint32(0xFFFFFFFF)),
+         _pad(lo.view(jnp.uint32), b, z), _pad(hi.view(jnp.uint32), b, z)),
         num_keys=1, is_stable=True)
+    sc, slo, shi = sc[:n], slo[:n], shi[:n]
     out_k = codec.decode_keys(sc, kt)
     if order == Order.DESCENDING:
         out_k = jnp.flip(out_k, axis=0)

@@ -116,3 +116,28 @@ def test_shape_errors():
         gst.sort(jnp.zeros((4, 4), jnp.uint32))
     with pytest.raises(ValueError):
         gst.sort_pairs_wide(keys, jnp.zeros((16,), jnp.uint32), jnp.zeros((8,), jnp.uint32))
+
+
+def test_size_bucketing_identical_output():
+    """Bucketed (sentinel-padded) sorts must be bit-identical to unbucketed,
+    including stable pair order with MAX-code keys present."""
+    from gpusorting_tpu.ops import xla_sort
+
+    n = 5000  # buckets to 5120
+    keys = prng.make_test_keys(n, seed=2)
+    # force real 0xFFFFFFFF keys so sentinel interaction is exercised
+    keys = keys.at[::7].set(jnp.uint32(0xFFFFFFFF))
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    old = xla_sort.SIZE_BUCKETING
+    try:
+        xla_sort.SIZE_BUCKETING = True
+        k1, v1 = gst.sort_pairs(keys, vals, backend=Backend.XLA)
+        o1 = gst.sort(keys, backend=Backend.XLA)
+        xla_sort.SIZE_BUCKETING = False
+        k2, v2 = gst.sort_pairs(keys, vals, backend=Backend.XLA)
+        o2 = gst.sort(keys, backend=Backend.XLA)
+    finally:
+        xla_sort.SIZE_BUCKETING = old
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
