@@ -107,16 +107,32 @@ def main():
         emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
              {"engine": "batched", "segments": int(S)})
 
-    # random-length composite path
-    offs, S = prng.make_random_segments(total, 1024, seed=3)
+    # (u32, f64-as-dual-planes) pairs — the reference's 64-bit payload chart
+    # (README.md:13-21 benches (u32,u32) AND (u32,f64))
+    for L in ([256] if on_tpu else [32]):
+        offs, S = prng.make_fixed_segments(total, L)
 
-    def seg_rand_fn(codes):
-        k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
-        return k
+        def seg_wide_fn(codes, offs=offs, S=S):
+            k, _, _ = splitsort.split_sort_pairs_wide(
+                offs, codes, codes, codes, S, total)
+            return k
 
-    res = timing.batch_timing(seg_rand_fn, total, batch=3, seed=10)
-    emit("segsort_random_le1024_pairs", res["keys_per_sec"], total,
-         {"engine": "composite", "segments": int(S)})
+        res = timing.batch_timing(seg_wide_fn, total, batch=5, seed=10)
+        emit(f"segsort_fixed_L{L}_pairs_f64", res["keys_per_sec"], total,
+             {"engine": "batched", "payload": "u32+u32 planes"})
+
+    # random-length composite path across max segment lengths (Kobus-style
+    # maxlen sweep; >65536 exercises the whole-buffer composite semantics)
+    for max_len in ([16, 1024, 65536, 262144] if on_tpu else [64]):
+        offs, S = prng.make_random_segments(total, max_len, seed=3)
+
+        def seg_rand_fn(codes, offs=offs, S=S):
+            k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
+            return k
+
+        res = timing.batch_timing(seg_rand_fn, total, batch=3, seed=10)
+        emit(f"segsort_random_maxlen{max_len}_pairs", res["keys_per_sec"],
+             total, {"engine": "composite", "segments": int(S)})
 
     with open(outpath, "a") as f:
         stamp = {"ts": time.time(), "rows": results}

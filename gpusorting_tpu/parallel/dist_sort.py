@@ -47,22 +47,34 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     )
 
 
-def _splitters_from_sample(sample_codes: jnp.ndarray, n_dev: int) -> jnp.ndarray:
-    s = jax.lax.sort((sample_codes,), num_keys=1, is_stable=False)[0]
-    m = s.shape[0]
-    # D-1 quantile positions
+def _splitters_from_sample(sample_codes: jnp.ndarray,
+                           sample_gidx: jnp.ndarray, n_dev: int):
+    """(code, global-index) quantile splitters.
+
+    The index tiebreak makes the splitter key a TOTAL order, so duplicate-
+    heavy keys (zipf, low-entropy presets) still split evenly across devices
+    instead of landing on one — the load-balance property that lets the
+    per-(src,dst) bucket capacity be ~n_local/D instead of ~n_local.
+    Stability survives: device ranges are lexicographic (code, gidx) ranges,
+    so concatenating per-device stable sorts yields the global stable order.
+    """
+    sc, sg = jax.lax.sort((sample_codes, sample_gidx), num_keys=2,
+                          is_stable=False)
+    m = sc.shape[0]
     idx = (jnp.arange(1, n_dev, dtype=jnp.int32) * m) // n_dev
-    return s[idx]
+    return sc[idx], sg[idx]
 
 
-def _bucket_of(codes: jnp.ndarray, splitters: jnp.ndarray) -> jnp.ndarray:
-    """Destination device id in [0, D): count of splitters <= code.
+def _bucket_of(codes: jnp.ndarray, gidx: jnp.ndarray,
+               spl_c: jnp.ndarray, spl_g: jnp.ndarray) -> jnp.ndarray:
+    """Destination device id in [0, D): count of splitters <= (code, gidx).
 
     Broadcast-compare sum instead of searchsorted: D-1 vectorized compares
     beat TPU's per-element binary search (PROBES.md) for small D.
     """
-    return jnp.sum(
-        codes[None, :] >= splitters[:, None], axis=0, dtype=jnp.int32)
+    ge = (codes[None, :] > spl_c[:, None]) | (
+        (codes[None, :] == spl_c[:, None]) & (gidx[None, :] >= spl_g[:, None]))
+    return jnp.sum(ge, axis=0, dtype=jnp.int32)
 
 
 def _pack_buckets(codes, aux, bucket, n_dev: int, cap: int):
@@ -103,12 +115,12 @@ def _pack_buckets(codes, aux, bucket, n_dev: int, cap: int):
     return send_codes, send_aux, overflow
 
 
-def _local_shard_sort(codes, gidx, payload, splitters, n_dev, cap, axis):
+def _local_shard_sort(codes, gidx, payload, spl_c, spl_g, n_dev, cap, axis):
     """Body run per device under shard_map."""
     me = jax.lax.axis_index(axis)
     n_local = codes.shape[0]
 
-    bucket = _bucket_of(codes, splitters)
+    bucket = _bucket_of(codes, gidx, spl_c, spl_g)
     aux = (gidx,) if payload is None else (gidx, payload)
     send_c, send_aux, overflow = _pack_buckets(codes, aux, bucket, n_dev, cap)
 
@@ -148,7 +160,10 @@ def distributed_sort(
     if n % n_dev:
         raise ValueError(f"n={n} must be divisible by mesh size {n_dev}")
     n_local = n // n_dev
-    cap = int(np.ceil(n_local * slack / 128)) * 128
+    # per-(src,dst) bucket capacity: tie-broken splitters balance loads to
+    # ~n_local/D per bucket, so the receive buffer stays O(slack * n_local)
+    # regardless of D (weak-scaling-safe); `slack` absorbs sampling error
+    cap = max(128, int(np.ceil(n_local * slack / n_dev / 128)) * 128)
 
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
@@ -157,25 +172,25 @@ def distributed_sort(
 
     # splitters from a global sample (computed replicated, outside shard_map)
     stride = max(1, n // (n_dev * oversample))
-    sample = codes[::stride]
-    splitters = _splitters_from_sample(sample, n_dev)
+    spl_c, spl_g = _splitters_from_sample(
+        codes[::stride], gidx[::stride], n_dev)
 
     spec = P(axis)
     rep = P()
 
     def body(codes_l, gidx_l, *rest):
         payload_l = rest[0] if values is not None else None
-        spl = rest[-1]
+        spl_c_l, spl_g_l = rest[-2], rest[-1]
         out, count, overflow = _local_shard_sort(
-            codes_l, gidx_l, payload_l, spl, n_dev, cap, axis
+            codes_l, gidx_l, payload_l, spl_c_l, spl_g_l, n_dev, cap, axis
         )
         return out + (count[None], overflow[None])
 
-    in_specs = [spec, spec] + ([spec] if values is not None else []) + [rep]
+    in_specs = [spec, spec] + ([spec] if values is not None else []) + [rep, rep]
     n_out = 3 if values is None else 4
     out_specs = tuple([spec] * (n_out - 1)) + (spec, spec)
 
-    args = [codes, gidx] + ([pbits] if values is not None else []) + [splitters]
+    args = [codes, gidx] + ([pbits] if values is not None else []) + [spl_c, spl_g]
     results = jax.shard_map(
         body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs
     )(*args)
