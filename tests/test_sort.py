@@ -141,3 +141,11 @@ def test_size_bucketing_identical_output():
     np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
     np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+
+def test_empty_inputs():
+    e = jnp.zeros((0,), jnp.uint32)
+    assert gst.sort(e).shape == (0,)
+    k, v = gst.sort_pairs(e, e)
+    assert k.shape == (0,) and v.shape == (0,)
+    assert gst.sort(e, backend=Backend.PALLAS).shape == (0,)
