@@ -149,3 +149,13 @@ def test_empty_inputs():
     k, v = gst.sort_pairs(e, e)
     assert k.shape == (0,) and v.shape == (0,)
     assert gst.sort(e, backend=Backend.PALLAS).shape == (0,)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("GST_EXHAUSTIVE"),
+    reason="exhaustive boundary sweep (reference GPUSortBase.h:245-248, every "
+           "size in a window); ~35 min — set GST_EXHAUSTIVE=1 to run")
+def test_boundary_window_exhaustive():
+    s = gst.DeviceRadixSort(SortConfig(backend=Backend.XLA))
+    rep = s.test_all(boundary_window=2048, large_sizes=(), boundary_stride=1)
+    assert rep.all_passed, str(rep)
