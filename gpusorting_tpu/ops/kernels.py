@@ -67,11 +67,12 @@ def _hist_kernel(x_ref, o_ref, acc_ref, *, tile_rows: int, passes: int):
         d = ((x >> (8 * p)) & 255).astype(jnp.int32)
         hi = (d >> 4).reshape(tile_rows, 1, LANES)
         lo = (d & 15).reshape(tile_rows, 1, LANES)
-        # batched over rows: (R,16,128) @ (R,128,16) -> (R,16,16)
+        # both one-hots in (R,16,128) layout, contracted over lanes
+        # (no relayout; rate-neutral vs the transpose form but simpler)
         ohh = (hi == io16).astype(jnp.int8)
-        ohl = (lo == io16).astype(jnp.int8).transpose(0, 2, 1)
+        ohl = (lo == io16).astype(jnp.int8)
         joint = jax.lax.dot_general(
-            ohh, ohl, (((2,), (1,)), ((0,), (0,))),
+            ohh, ohl, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.int32)          # (R, 16, 16)
         # reduce over rows in-kernel; the (16,16)->(256,) reshape happens
         # outside (Mosaic rejects reshaping the minor dims of a 3-D vector)
