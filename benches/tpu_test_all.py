@@ -90,6 +90,18 @@ def main():
     print(f"[kernels] hist={'PASS' if hok else 'FAIL'} "
           f"scan={'PASS' if sok else 'FAIL'}", flush=True)
 
+    # 6b. native LSD radix-16 engine (TPU-only; bit-exact vs numpy)
+    from gpusorting_tpu.ops import radix16
+    rok = 0
+    for nn in (100_000, 1 << 20):
+        xx = prng.hybrid_taus_bits(nn, seed=nn & 0xFFF)
+        rok += (np.asarray(radix16.sort_codes_radix16(xx))
+                == np.sort(np.asarray(xx))).all()
+    sk = prng.make_test_keys(200_000, 3, jnp.uint32, EntropyPreset.E020)
+    rok += (np.asarray(radix16.sort_codes_radix16(sk))
+            == np.sort(np.asarray(sk))).all()
+    print(f"[radix16 engine] {int(rok)} / 3 passed", flush=True)
+
     # 7. distributed path compiles and runs on real hardware (1-chip mesh)
     from gpusorting_tpu.parallel import dist_sort
     mesh = dist_sort.make_mesh(1)

@@ -38,12 +38,30 @@ def is_native() -> bool:
 
 
 def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "onesweep"):
-    """Native-path typed key sort (keys-only; radix order on codes)."""
+    """Native-path typed key sort (keys-only; radix order on codes).
+
+    variant "device_radix" selects the native LSD radix-16 engine
+    (ops/radix16.py — the reduce-then-scan / OneSweep-equivalent pipeline,
+    TPU only); other variants use the sorting network.
+    """
     kt = codec.key_type_of(keys)
-    out = codec.decode_keys(bitonic.sort_codes(codec.encode_keys(keys)), kt)
+    codes = codec.encode_keys(keys)
+    if variant == "device_radix" and _on_tpu():
+        from . import radix16
+
+        sc = radix16.sort_codes_radix16(codes)
+    else:
+        sc = bitonic.sort_codes(codes)
+    out = codec.decode_keys(sc, kt)
     if order == Order.DESCENDING:
         out = jnp.flip(out, axis=0)
     return out
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
 
 
 def sort_pairs(

@@ -1,0 +1,294 @@
+"""Native LSD radix-16 sort engine — the TPU OneSweep equivalent.
+
+Eight 4-bit passes over u32 codes; each pass is ONE fused Pallas kernel per
+tile (sequential grid) that plays the role of the reference's
+DigitBinningPass (OneSweep.cu:164-344), with TPU mechanisms replacing every
+GPU one (SURVEY.md §2.7):
+
+  reference                         here
+  ---------                         ----
+  atomic tile index + lookback      sequential grid + per-stream carries
+  WLMS ballot ranking               within-row bitonic pack by (digit,lane)
+  warp-hist scan                    per-row start tables + row-prefix rolls
+  shared-memory pre-scatter         per-bucket phase rotation (lane gather)
+  coalesced device scatter          banded placement matmuls (MXU int8) +
+                                    16 per-stream row-aligned DMA writers
+
+Global digit bases come from ops.kernels.global_histogram (4-bit histograms
+are free marginals of the 8-bit joints) + exclusive scans.
+
+Stream-boundary correctness: each digit stream d owns output elements
+[base_d, base_{d+1}); rows wholly inside a stream are DMA'd full as the
+stream's cursor crosses them (lanes owned by earlier streams are written as
+zeros then repaired); every PARTIAL row lives in the stream's carry until the
+final flush, which read-modify-OR-writes each carry into place — boundary
+rows shared by several streams merge correctly because pre-flush full-row
+writes only ever zero-fill foreign lanes and flushes run last, sequentially.
+
+Sentinel padding: n pads to a tile multiple with 0xFFFFFFFF keys, which have
+digit 15 in every position and therefore stay glued to the tail through all
+passes; the final slice drops them.
+
+This engine is exact and skew-independent but VPU-bound (the within-row
+bitonic pack + 16 rotations — docs/ROADMAP_perf.md has the cost sheet), so
+it currently runs at XLA-sort parity rather than above it; it exists to
+complete the native radix pipeline end-to-end and as the optimization
+substrate for round 2.  TPU-only: the 16-stream dynamic-size DMA writer has
+no interpret-mode equivalent (interpret cannot express dynamic-size slices).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import kernels as _kernels
+
+LANES = 128
+NBUCKETS = 16
+_BLK = 128          # source rows per placement block
+_BAND = _BLK + 2    # output-row band per block
+
+
+def _within_row_sort_schedule():
+    """(j, k) stages of a 128-wide bitonic network; final level ascending
+    everywhere (k sentinel bit above any real row index)."""
+    sched = []
+    k = 2
+    while k <= LANES:
+        j = k // 2
+        while j >= 1:
+            kk = k if k < LANES else (1 << 30)
+            sched.append((j, kk))
+            j //= 2
+        k *= 2
+    return np.array(sched, np.int32)
+
+
+def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
+                    acc, sem, *, tile_rows: int, shift: int):
+    """One LSD radix-16 pass over one tile."""
+    t = pl.program_id(0)
+    nblk = tile_rows // _BLK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+
+    @pl.when(t == 0)
+    def _():
+        carry_rows[:] = jnp.zeros_like(carry_rows)
+        for d in range(NBUCKETS):
+            cursors[d] = bases_ref[d]
+
+    x = x_ref[:]
+    digit = jax.lax.shift_right_logical(x, shift) & 15
+
+    # --- 1. within-row pack by (digit, lane): bitonic on packed i32 ---
+    packed = (digit << 7) | lane
+
+    def stage(s, y):
+        j = sched_ref[s, 0]
+        k = sched_ref[s, 1]
+        idx = lane ^ j
+        peer = jnp.take_along_axis(y, idx, axis=1)
+        jbit = (lane & j) != 0
+        kbit = (lane & k) != 0
+        want_min = jbit == kbit
+        take_self = (y < peer) == want_min
+        return jnp.where(take_self, y, peer)
+
+    packed = jax.lax.fori_loop(0, sched_ref.shape[0], stage, packed)
+    src = packed & 127
+    dsort = packed >> 7
+    xs = jnp.take_along_axis(x, src, axis=1)
+
+    # --- 2. per-row run starts + per-tile row prefixes per digit ---
+    # rowstart[r, d] = # elements with digit < d; cnt[r, d] = run length
+    starts = []
+    for d in range(NBUCKETS + 1):
+        if d == 0:
+            starts.append(jnp.zeros((tile_rows, 1), jnp.int32))
+        elif d == NBUCKETS:
+            starts.append(jnp.full((tile_rows, 1), LANES, jnp.int32))
+        else:
+            starts.append(
+                jnp.sum(dsort < d, axis=1, keepdims=True).astype(jnp.int32))
+    rowstart = jnp.concatenate(starts[:NBUCKETS], axis=1)       # (R,16)
+    cnt = jnp.concatenate(
+        [starts[d + 1] - starts[d] for d in range(NBUCKETS)], axis=1)
+
+    # exclusive prefix of cnt across rows (log-steps over sublanes)
+    rp = cnt
+    s = 1
+    while s < tile_rows:
+        rp = rp + jnp.where(row1 >= s, pltpu.roll(rp, s, axis=0), 0)
+        s *= 2
+    rowpref = rp - cnt                                          # (R,16)
+    tilecnt = rp[tile_rows - 1:tile_rows, :]                    # (1,16)
+
+    acc[:] = jnp.zeros_like(acc)
+
+    band_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BAND), 1)
+
+    # --- 3. per bucket: rotate, place, stream out ---
+    for d in range(NBUCKETS):
+        cur = cursors[d]                                         # elements
+        cur_row = cur >> 7
+        # absolute element offset for each row's run start, minus rowstart
+        # so that dest(element at sorted lane l) = T + l for the run
+        T = cur + rowpref[:, d:d + 1] - rowstart[:, d:d + 1]     # (R,1)
+        idx = (lane - T) & (LANES - 1)
+        xr = jnp.take_along_axis(xs, idx, axis=1)
+        k_orig = idx                                             # sorted lane
+        valid = (k_orig >= rowstart[:, d:d + 1]) & (
+            k_orig < rowstart[:, d:d + 1] + cnt[:, d:d + 1])
+        e = T + k_orig                                           # abs elem pos
+        w_rel = (e >> 7) - cur_row                               # acc row
+        # carry row of this stream seeds acc row 0
+        acc[d, 0:1, :] = carry_rows[d:d + 1, :]
+
+        for b in range(nblk):
+            sl = slice(b * _BLK, (b + 1) * _BLK)
+            wb = w_rel[sl]                                       # (BLK,128)
+            vb = valid[sl]
+            # each row's run spans <=2 acc rows: w0 and w0+1
+            big = jnp.int32(1 << 20)
+            w0 = jnp.min(jnp.where(vb, wb, big), axis=1, keepdims=True)
+            has = jnp.any(vb, axis=1, keepdims=True)
+            blk_base = jnp.minimum(jnp.min(jnp.where(has, w0, big)),
+                                   jnp.int32(tile_rows))         # scalar
+            # empty rows get srel=-1 (matches no band row; masks are false)
+            srel = jnp.where(has, w0 - blk_base, -1)
+            s_lo = (srel == band_iota).astype(jnp.int8)          # (BLK,BAND)
+            s_hi = (srel + 1 == band_iota).astype(jnp.int8)
+            m_lo = vb & (wb == w0)
+            m_hi = vb & (wb == w0 + 1)
+            out_i32 = jnp.zeros((_BAND, LANES), jnp.int32)
+            for part_m, smat in ((m_lo, s_lo), (m_hi, s_hi)):
+                for kk in range(4):
+                    byte = ((xr[sl] >> (8 * kk)) & 255) - 128
+                    mat = jnp.where(part_m, byte, 0).astype(jnp.int8)
+                    r = jax.lax.dot_general(
+                        smat, mat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    out_i32 = out_i32 + (r << (8 * kk))
+                occ = jax.lax.dot_general(
+                    smat, part_m.astype(jnp.int8), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                out_i32 = out_i32 + occ * jnp.int32(-2139062144)
+            acc[d, pl.ds(blk_base, _BAND), :] = (
+                acc[d, pl.ds(blk_base, _BAND), :] + out_i32)
+
+        # stream full rows to HBM; keep the trailing partial in the carry
+        new_cur = cur + tilecnt[0, d]
+        full_rows = (new_cur >> 7) - cur_row
+
+        @pl.when(full_rows > 0)
+        def _(d=d, full_rows=full_rows, cur_row=cur_row):
+            cp = pltpu.make_async_copy(
+                acc.at[d, pl.ds(0, full_rows), :],
+                o_hbm.at[pl.ds(cur_row, full_rows), :], sem)
+            cp.start()
+            cp.wait()
+
+        rem = new_cur & (LANES - 1)
+        tail = acc[d, pl.ds(full_rows, 1), :]
+        keep = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < rem
+        carry_rows[d:d + 1, :] = jnp.where(keep, tail, 0)
+        cursors[d] = new_cur
+
+    # --- 4. final flush: RMW-OR each stream's partial row into place ---
+    @pl.when(t == pl.num_programs(0) - 1)
+    def _():
+        def flush(d, _):
+            rw = cursors[d] >> 7
+
+            @pl.when((cursors[d] & (LANES - 1)) > 0)
+            def _():
+                # read the row (may hold a later stream's full write),
+                # OR in this stream's lanes, write back
+                cp1 = pltpu.make_async_copy(
+                    o_hbm.at[pl.ds(rw, 1), :], acc.at[0, pl.ds(0, 1), :], sem)
+                cp1.start()
+                cp1.wait()
+                merged = acc[0, 0:1, :] | carry_rows[pl.ds(d, 1), :]
+                acc[0, 0:1, :] = merged
+                cp2 = pltpu.make_async_copy(
+                    acc.at[0, pl.ds(0, 1), :], o_hbm.at[pl.ds(rw, 1), :], sem)
+                cp2.start()
+                cp2.wait()
+            return 0
+
+        jax.lax.fori_loop(0, NBUCKETS, flush, 0)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_pass(rows: int, tile_rows: int, shift: int):
+    kern = functools.partial(_binning_kernel, tile_rows=tile_rows, shift=shift)
+
+    def call(sched, bases, x):
+        return pl.pallas_call(
+            kern,
+            grid=(rows // tile_rows,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((rows + 2, LANES), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((NBUCKETS, LANES), jnp.int32),   # carry rows
+                pltpu.SMEM((NBUCKETS,), jnp.int32),         # cursors
+                pltpu.VMEM((NBUCKETS, tile_rows + _BAND, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 << 20, has_side_effects=True),
+        )(sched, bases, x)
+
+    return call
+
+
+def _is_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def sort_codes_radix16(codes: jnp.ndarray,
+                       tile_rows: int = 512) -> jnp.ndarray:
+    """Full 8-pass LSD radix-16 sort of u32 codes (TPU only).
+
+    Keys-only (duplicates indistinguishable, so output equals stable sort).
+    """
+    if not _is_tpu():
+        raise NotImplementedError(
+            "radix16 engine is TPU-only (its 16-stream dynamic-size DMA "
+            "writer cannot run under interpret mode); use Backend.XLA or "
+            "the bitonic network off-TPU")
+    n = codes.shape[0]
+    rows = max(tile_rows, -(-n // LANES))
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    x = codes
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
+
+    # 4-bit histograms for all 8 passes are marginals of the 8-bit joints
+    hist8 = _kernels.global_histogram(x, passes=4)            # (4,256)
+    joint = hist8.reshape(4, 16, 16)
+    bases = []
+    for p in range(8):
+        h4 = joint[p // 2].sum(axis=1 if (p % 2) else 0)      # (16,)
+        bases.append(jnp.cumsum(h4) - h4)
+    bases = jnp.stack(bases).astype(jnp.int32)                # (8,16)
+
+    sched = jnp.asarray(_within_row_sort_schedule())
+    y = x.reshape(rows, LANES).view(jnp.int32)
+    for p in range(8):
+        call = _build_pass(rows, tile_rows, 4 * p)
+        y = call(sched, bases[p], y)[:rows]
+    return y.reshape(-1)[:n].view(jnp.uint32)
