@@ -14,27 +14,31 @@ GPU one (SURVEY.md §2.7):
   coalesced device scatter          banded placement matmuls (MXU int8) +
                                     16 per-stream row-aligned DMA writers
 
-Global digit bases come from ops.kernels.global_histogram (4-bit histograms
-are free marginals of the 8-bit joints) + exclusive scans.
+Pairs ride as a second operand through the same pack/rotate/place machinery
+(the pass is stable: within-row order is lane order, rows accumulate in row
+order, tiles in grid order — so payloads land exactly as a stable sort
+moves them).  Global digit bases come from ops.kernels.global_histogram
+(4-bit histograms are free marginals of the 8-bit joints) + exclusive scans.
 
 Stream-boundary correctness: each digit stream d owns output elements
 [base_d, base_{d+1}); rows wholly inside a stream are DMA'd full as the
 stream's cursor crosses them (lanes owned by earlier streams are written as
 zeros then repaired); every PARTIAL row lives in the stream's carry until the
-final flush, which read-modify-OR-writes each carry into place — boundary
-rows shared by several streams merge correctly because pre-flush full-row
-writes only ever zero-fill foreign lanes and flushes run last, sequentially.
+final flush, which read-modify-OR-writes each carry into place.  Every output
+row's end boundary is crossed by exactly one stream, so every row is
+eventually full-written and flush reads are always defined; pre-flush full
+writes only zero-fill foreign lanes, and flushes run last, sequentially.
 
 Sentinel padding: n pads to a tile multiple with 0xFFFFFFFF keys, which have
 digit 15 in every position and therefore stay glued to the tail through all
-passes; the final slice drops them.
+passes; the final slice drops them (pair sentinels carry payload 0).
 
 This engine is exact and skew-independent but VPU-bound (the within-row
 bitonic pack + 16 rotations — docs/ROADMAP_perf.md has the cost sheet), so
-it currently runs at XLA-sort parity rather than above it; it exists to
-complete the native radix pipeline end-to-end and as the optimization
-substrate for round 2.  TPU-only: the 16-stream dynamic-size DMA writer has
-no interpret-mode equivalent (interpret cannot express dynamic-size slices).
+it currently trails the XLA path; it exists to complete the native radix
+pipeline end-to-end and as the optimization substrate for round 2.
+TPU-only: the 16-stream dynamic-size DMA writer cannot run under interpret
+mode (dynamic-size slices are not expressible there).
 """
 
 from __future__ import annotations
@@ -70,9 +74,21 @@ def _within_row_sort_schedule():
     return np.array(sched, np.int32)
 
 
-def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
-                    acc, sem, *, tile_rows: int, shift: int):
-    """One LSD radix-16 pass over one tile."""
+def _binning_kernel(sched_ref, bases_ref, *refs, tile_rows: int, shift: int,
+                    num_ops: int):
+    """One LSD radix-16 pass over one tile.
+
+    refs: num_ops input refs, num_ops HBM output refs, then scratch:
+    carry rows (num_ops*16, 128), cursors (16,) SMEM,
+    num_ops accumulators (16, tile_rows+BAND, 128), one DMA semaphore.
+    """
+    in_refs = refs[:num_ops]
+    out_refs = refs[num_ops:2 * num_ops]
+    carry_rows = refs[2 * num_ops]
+    cursors = refs[2 * num_ops + 1]
+    accs = refs[2 * num_ops + 2:2 * num_ops + 2 + num_ops]
+    sem = refs[2 * num_ops + 2 + num_ops]
+
     t = pl.program_id(0)
     nblk = tile_rows // _BLK
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
@@ -84,8 +100,8 @@ def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
         for d in range(NBUCKETS):
             cursors[d] = bases_ref[d]
 
-    x = x_ref[:]
-    digit = jax.lax.shift_right_logical(x, shift) & 15
+    xin = tuple(r[:] for r in in_refs)
+    digit = jax.lax.shift_right_logical(xin[0], shift) & 15
 
     # --- 1. within-row pack by (digit, lane): bitonic on packed i32 ---
     packed = (digit << 7) | lane
@@ -95,19 +111,16 @@ def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
         k = sched_ref[s, 1]
         idx = lane ^ j
         peer = jnp.take_along_axis(y, idx, axis=1)
-        jbit = (lane & j) != 0
-        kbit = (lane & k) != 0
-        want_min = jbit == kbit
+        want_min = ((lane & j) != 0) == ((lane & k) != 0)
         take_self = (y < peer) == want_min
         return jnp.where(take_self, y, peer)
 
     packed = jax.lax.fori_loop(0, sched_ref.shape[0], stage, packed)
     src = packed & 127
     dsort = packed >> 7
-    xs = jnp.take_along_axis(x, src, axis=1)
+    xs = tuple(jnp.take_along_axis(x, src, axis=1) for x in xin)
 
     # --- 2. per-row run starts + per-tile row prefixes per digit ---
-    # rowstart[r, d] = # elements with digit < d; cnt[r, d] = run length
     starts = []
     for d in range(NBUCKETS + 1):
         if d == 0:
@@ -121,7 +134,6 @@ def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
     cnt = jnp.concatenate(
         [starts[d + 1] - starts[d] for d in range(NBUCKETS)], axis=1)
 
-    # exclusive prefix of cnt across rows (log-steps over sublanes)
     rp = cnt
     s = 1
     while s < tile_rows:
@@ -130,7 +142,8 @@ def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
     rowpref = rp - cnt                                          # (R,16)
     tilecnt = rp[tile_rows - 1:tile_rows, :]                    # (1,16)
 
-    acc[:] = jnp.zeros_like(acc)
+    for acc in accs:
+        acc[:] = jnp.zeros_like(acc)
 
     band_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BAND), 1)
 
@@ -138,67 +151,71 @@ def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
     for d in range(NBUCKETS):
         cur = cursors[d]                                         # elements
         cur_row = cur >> 7
-        # absolute element offset for each row's run start, minus rowstart
-        # so that dest(element at sorted lane l) = T + l for the run
         T = cur + rowpref[:, d:d + 1] - rowstart[:, d:d + 1]     # (R,1)
         idx = (lane - T) & (LANES - 1)
-        xr = jnp.take_along_axis(xs, idx, axis=1)
+        xr = tuple(jnp.take_along_axis(x, idx, axis=1) for x in xs)
         k_orig = idx                                             # sorted lane
         valid = (k_orig >= rowstart[:, d:d + 1]) & (
             k_orig < rowstart[:, d:d + 1] + cnt[:, d:d + 1])
         e = T + k_orig                                           # abs elem pos
         w_rel = (e >> 7) - cur_row                               # acc row
-        # carry row of this stream seeds acc row 0
-        acc[d, 0:1, :] = carry_rows[d:d + 1, :]
+        for o, acc in enumerate(accs):
+            acc[d, 0:1, :] = carry_rows[o * NBUCKETS + d:
+                                        o * NBUCKETS + d + 1, :]
 
         for b in range(nblk):
             sl = slice(b * _BLK, (b + 1) * _BLK)
-            wb = w_rel[sl]                                       # (BLK,128)
+            wb = w_rel[sl]
             vb = valid[sl]
-            # each row's run spans <=2 acc rows: w0 and w0+1
             big = jnp.int32(1 << 20)
             w0 = jnp.min(jnp.where(vb, wb, big), axis=1, keepdims=True)
             has = jnp.any(vb, axis=1, keepdims=True)
             blk_base = jnp.minimum(jnp.min(jnp.where(has, w0, big)),
-                                   jnp.int32(tile_rows))         # scalar
-            # empty rows get srel=-1 (matches no band row; masks are false)
+                                   jnp.int32(tile_rows))
             srel = jnp.where(has, w0 - blk_base, -1)
-            s_lo = (srel == band_iota).astype(jnp.int8)          # (BLK,BAND)
+            s_lo = (srel == band_iota).astype(jnp.int8)
             s_hi = (srel + 1 == band_iota).astype(jnp.int8)
             m_lo = vb & (wb == w0)
             m_hi = vb & (wb == w0 + 1)
-            out_i32 = jnp.zeros((_BAND, LANES), jnp.int32)
+            outs = [jnp.zeros((_BAND, LANES), jnp.int32)
+                    for _ in range(num_ops)]
             for part_m, smat in ((m_lo, s_lo), (m_hi, s_hi)):
-                for kk in range(4):
-                    byte = ((xr[sl] >> (8 * kk)) & 255) - 128
-                    mat = jnp.where(part_m, byte, 0).astype(jnp.int8)
-                    r = jax.lax.dot_general(
-                        smat, mat, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32)
-                    out_i32 = out_i32 + (r << (8 * kk))
                 occ = jax.lax.dot_general(
                     smat, part_m.astype(jnp.int8), (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32)
-                out_i32 = out_i32 + occ * jnp.int32(-2139062144)
-            acc[d, pl.ds(blk_base, _BAND), :] = (
-                acc[d, pl.ds(blk_base, _BAND), :] + out_i32)
+                bias = occ * jnp.int32(-2139062144)
+                for o in range(num_ops):
+                    acc_o = outs[o]
+                    for kk in range(4):
+                        byte = ((xr[o][sl] >> (8 * kk)) & 255) - 128
+                        mat = jnp.where(part_m, byte, 0).astype(jnp.int8)
+                        r = jax.lax.dot_general(
+                            smat, mat, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+                        acc_o = acc_o + (r << (8 * kk))
+                    outs[o] = acc_o + bias
+            for o, acc in enumerate(accs):
+                acc[d, pl.ds(blk_base, _BAND), :] = (
+                    acc[d, pl.ds(blk_base, _BAND), :] + outs[o])
 
-        # stream full rows to HBM; keep the trailing partial in the carry
         new_cur = cur + tilecnt[0, d]
         full_rows = (new_cur >> 7) - cur_row
 
         @pl.when(full_rows > 0)
         def _(d=d, full_rows=full_rows, cur_row=cur_row):
-            cp = pltpu.make_async_copy(
-                acc.at[d, pl.ds(0, full_rows), :],
-                o_hbm.at[pl.ds(cur_row, full_rows), :], sem)
-            cp.start()
-            cp.wait()
+            for o in range(num_ops):
+                cp = pltpu.make_async_copy(
+                    accs[o].at[d, pl.ds(0, full_rows), :],
+                    out_refs[o].at[pl.ds(cur_row, full_rows), :], sem)
+                cp.start()
+                cp.wait()
 
         rem = new_cur & (LANES - 1)
-        tail = acc[d, pl.ds(full_rows, 1), :]
         keep = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < rem
-        carry_rows[d:d + 1, :] = jnp.where(keep, tail, 0)
+        for o, acc in enumerate(accs):
+            tail = acc[d, pl.ds(full_rows, 1), :]
+            carry_rows[o * NBUCKETS + d:o * NBUCKETS + d + 1, :] = (
+                jnp.where(keep, tail, 0))
         cursors[d] = new_cur
 
     # --- 4. final flush: RMW-OR each stream's partial row into place ---
@@ -209,47 +226,53 @@ def _binning_kernel(sched_ref, bases_ref, x_ref, o_hbm, carry_rows, cursors,
 
             @pl.when((cursors[d] & (LANES - 1)) > 0)
             def _():
-                # read the row (may hold a later stream's full write),
-                # OR in this stream's lanes, write back
-                cp1 = pltpu.make_async_copy(
-                    o_hbm.at[pl.ds(rw, 1), :], acc.at[0, pl.ds(0, 1), :], sem)
-                cp1.start()
-                cp1.wait()
-                merged = acc[0, 0:1, :] | carry_rows[pl.ds(d, 1), :]
-                acc[0, 0:1, :] = merged
-                cp2 = pltpu.make_async_copy(
-                    acc.at[0, pl.ds(0, 1), :], o_hbm.at[pl.ds(rw, 1), :], sem)
-                cp2.start()
-                cp2.wait()
+                for o in range(num_ops):
+                    cp1 = pltpu.make_async_copy(
+                        out_refs[o].at[pl.ds(rw, 1), :],
+                        accs[o].at[0, pl.ds(0, 1), :], sem)
+                    cp1.start()
+                    cp1.wait()
+                    merged = accs[o][0, 0:1, :] | carry_rows[
+                        pl.ds(o * NBUCKETS + d, 1), :]
+                    accs[o][0, 0:1, :] = merged
+                    cp2 = pltpu.make_async_copy(
+                        accs[o].at[0, pl.ds(0, 1), :],
+                        out_refs[o].at[pl.ds(rw, 1), :], sem)
+                    cp2.start()
+                    cp2.wait()
             return 0
 
         jax.lax.fori_loop(0, NBUCKETS, flush, 0)
 
 
-@functools.lru_cache(maxsize=32)
-def _build_pass(rows: int, tile_rows: int, shift: int):
-    kern = functools.partial(_binning_kernel, tile_rows=tile_rows, shift=shift)
+@functools.lru_cache(maxsize=64)
+def _build_pass(rows: int, tile_rows: int, shift: int, num_ops: int):
+    kern = functools.partial(_binning_kernel, tile_rows=tile_rows,
+                             shift=shift, num_ops=num_ops)
 
-    def call(sched, bases, x):
+    def call(sched, bases, *xs):
         return pl.pallas_call(
             kern,
             grid=(rows // tile_rows,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            out_shape=jax.ShapeDtypeStruct((rows + 2, LANES), jnp.int32),
+            ] + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+                 for _ in range(num_ops)],
+            out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                            for _ in range(num_ops)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows + 2, LANES), jnp.int32)
+                for _ in range(num_ops)),
             scratch_shapes=[
-                pltpu.VMEM((NBUCKETS, LANES), jnp.int32),   # carry rows
-                pltpu.SMEM((NBUCKETS,), jnp.int32),         # cursors
-                pltpu.VMEM((NBUCKETS, tile_rows + _BAND, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+                pltpu.VMEM((num_ops * NBUCKETS, LANES), jnp.int32),
+                pltpu.SMEM((NBUCKETS,), jnp.int32),
+            ] + [pltpu.VMEM((NBUCKETS, tile_rows + _BAND, LANES), jnp.int32)
+                 for _ in range(num_ops)]
+            + [pltpu.SemaphoreType.DMA(())],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 << 20, has_side_effects=True),
-        )(sched, bases, x)
+        )(sched, bases, *xs)
 
     return call
 
@@ -258,37 +281,58 @@ def _is_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def sort_codes_radix16(codes: jnp.ndarray,
-                       tile_rows: int = 512) -> jnp.ndarray:
-    """Full 8-pass LSD radix-16 sort of u32 codes (TPU only).
-
-    Keys-only (duplicates indistinguishable, so output equals stable sort).
-    """
-    if not _is_tpu():
-        raise NotImplementedError(
-            "radix16 engine is TPU-only (its 16-stream dynamic-size DMA "
-            "writer cannot run under interpret mode); use Backend.XLA or "
-            "the bitonic network off-TPU")
-    n = codes.shape[0]
-    rows = max(tile_rows, -(-n // LANES))
-    rows = -(-rows // tile_rows) * tile_rows
-    pad = rows * LANES - n
-    x = codes
-    if pad:
-        x = jnp.concatenate([x, jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)])
-
-    # 4-bit histograms for all 8 passes are marginals of the 8-bit joints
+def _bases_all_passes(x: jnp.ndarray) -> jnp.ndarray:
+    """(8,16) exclusive digit bases from one histogram read."""
     hist8 = _kernels.global_histogram(x, passes=4)            # (4,256)
     joint = hist8.reshape(4, 16, 16)
     bases = []
     for p in range(8):
         h4 = joint[p // 2].sum(axis=1 if (p % 2) else 0)      # (16,)
         bases.append(jnp.cumsum(h4) - h4)
-    bases = jnp.stack(bases).astype(jnp.int32)                # (8,16)
+    return jnp.stack(bases).astype(jnp.int32)
 
+
+def _sort_radix16(operands, tile_rows: int):
+    """Core: operands = (codes, *ride) u32 1-D; returns permuted operands."""
+    if not _is_tpu():
+        raise NotImplementedError(
+            "radix16 engine is TPU-only (its multi-stream dynamic-size DMA "
+            "writer cannot run under interpret mode); use Backend.XLA or "
+            "the bitonic network off-TPU")
+    num_ops = len(operands)
+    n = operands[0].shape[0]
+    rows = max(tile_rows, -(-n // LANES))
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    xs = []
+    for i, x in enumerate(operands):
+        if pad:
+            fill = jnp.full((pad,), 0xFFFFFFFF if i == 0 else 0, jnp.uint32)
+            x = jnp.concatenate([x, fill])
+        xs.append(x.reshape(rows, LANES).view(jnp.int32))
+
+    bases = _bases_all_passes(
+        xs[0].reshape(-1).view(jnp.uint32))
     sched = jnp.asarray(_within_row_sort_schedule())
-    y = x.reshape(rows, LANES).view(jnp.int32)
     for p in range(8):
-        call = _build_pass(rows, tile_rows, 4 * p)
-        y = call(sched, bases[p], y)[:rows]
-    return y.reshape(-1)[:n].view(jnp.uint32)
+        call = _build_pass(rows, tile_rows, 4 * p, num_ops)
+        ys = call(sched, bases[p], *xs)
+        xs = [y[:rows] for y in ys]
+    return tuple(y.reshape(-1)[:n].view(jnp.uint32) for y in xs)
+
+
+def sort_codes_radix16(codes: jnp.ndarray,
+                       tile_rows: int = 512) -> jnp.ndarray:
+    """Full 8-pass LSD radix-16 sort of u32 codes (keys-only, TPU only)."""
+    return _sort_radix16((codes,), tile_rows)[0]
+
+
+def sort_pairs_radix16(codes: jnp.ndarray, payload: jnp.ndarray,
+                       tile_rows: int = 512):
+    """Stable pair sort through the native radix pipeline (TPU only).
+
+    Returns (sorted_codes, permuted_payload) — bit-exact with
+    jax.lax.sort((codes, payload), is_stable=True) because every pass is
+    stable (see module docstring).
+    """
+    return _sort_radix16((codes, payload.view(jnp.uint32)), tile_rows)

@@ -46,3 +46,16 @@ def test_boundary_sizes():
 def test_cpu_raises():
     # documents the TPU-only contract (runs only when collected on TPU)
     pass
+
+
+def test_pairs_stable():
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.ops import radix16
+
+    n = 100_000
+    k = prng.hybrid_taus_bits(n, seed=2) & jnp.uint32(0xFF)
+    v = jnp.arange(n, dtype=jnp.uint32)
+    sk, sv = radix16.sort_pairs_radix16(k, v)
+    rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
