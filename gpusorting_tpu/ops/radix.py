@@ -70,9 +70,23 @@ def sort_pairs(
     order: Order = Order.ASCENDING,
     variant: str = "onesweep",
 ):
-    """Native-path stable pair sort; bit-exact with xla_sort.sort_pairs."""
+    """Native-path stable pair sort; bit-exact with xla_sort.sort_pairs.
+
+    variant "device_radix" routes 32-bit payloads through the native LSD
+    radix-16 pipeline on TPU (ops/radix16.py).
+    """
     kt = codec.key_type_of(keys)
     bits = codec.payload_to_bits(values)
+    if variant == "device_radix" and _on_tpu() and bits.dtype != jnp.uint64:
+        from . import radix16
+
+        sc, sbits = radix16.sort_pairs_radix16(codec.encode_keys(keys), bits)
+        out_k = codec.decode_keys(sc, kt)
+        out_v = codec.bits_to_payload(sbits, values.dtype)
+        if order == Order.DESCENDING:
+            out_k = jnp.flip(out_k, axis=0)
+            out_v = jnp.flip(out_v, axis=0)
+        return out_k, out_v
     if bits.dtype == jnp.uint64:
         # 64-bit payloads ride as two u32 planes (no 64-bit VPU lanes on TPU).
         lo = (bits & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)

@@ -55,7 +55,8 @@ from . import kernels as _kernels
 
 LANES = 128
 NBUCKETS = 16
-_BLK = 128          # source rows per placement block
+_BLK = 128          # source rows per placement block (A/B'd: 32-row blocks
+                    # run 25% slower — small placement matmuls waste the MXU)
 _BAND = _BLK + 2    # output-row band per block
 
 
