@@ -57,7 +57,10 @@ LANES = 128
 NBUCKETS = 16
 _BLK = 128          # source rows per placement block (A/B'd: 32-row blocks
                     # run 25% slower — small placement matmuls waste the MXU)
-_BAND = _BLK + 2    # output-row band per block
+# band must cover _BLK+2 rows AND be a multiple of 8: dynamic VMEM slices of
+# non-sublane-multiple HEIGHT relayout catastrophically (measured 2.45 ms vs
+# ~0 per pass at 2^22 — the whole engine overhead was this)
+_BAND = 144
 
 
 def _within_row_sort_schedule():
@@ -147,37 +150,41 @@ def _binning_kernel(sched_ref, bases_ref, *refs, tile_rows: int, shift: int,
         acc[:] = jnp.zeros_like(acc)
 
     band_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BAND), 1)
+    lane_blk = jax.lax.broadcasted_iota(jnp.int32, (_BLK, LANES), 1)
 
     # --- 3. per bucket: rotate, place, stream out ---
     for d in range(NBUCKETS):
         cur = cursors[d]                                         # elements
         cur_row = cur >> 7
-        T = cur + rowpref[:, d:d + 1] - rowstart[:, d:d + 1]     # (R,1)
+        rs_d = rowstart[:, d:d + 1]
+        T = cur + rowpref[:, d:d + 1] - rs_d                     # (R,1)
         idx = (lane - T) & (LANES - 1)
         xr = tuple(jnp.take_along_axis(x, idx, axis=1) for x in xs)
         k_orig = idx                                             # sorted lane
-        valid = (k_orig >= rowstart[:, d:d + 1]) & (
-            k_orig < rowstart[:, d:d + 1] + cnt[:, d:d + 1])
-        e = T + k_orig                                           # abs elem pos
-        w_rel = (e >> 7) - cur_row                               # acc row
+        valid = (k_orig >= rs_d) & (k_orig < rs_d + cnt[:, d:d + 1])
+        # run geometry from the (R,1) tables — NO elementwise reductions:
+        # the run starts at absolute element T+rowstart, i.e. acc row w0 and
+        # lane phase phi; non-wrapped (lo) elements sit at lanes >= phi
+        run_abs = T + rs_d                                       # (R,1)
+        w0_row = (run_abs >> 7) - cur_row
+        phi = run_abs & (LANES - 1)
+        has_row = cnt[:, d:d + 1] > 0
+        big = jnp.int32(1 << 20)
+        w0_or_big = jnp.where(has_row, w0_row, big)
         for o, acc in enumerate(accs):
             acc[d, 0:1, :] = carry_rows[o * NBUCKETS + d:
                                         o * NBUCKETS + d + 1, :]
 
         for b in range(nblk):
             sl = slice(b * _BLK, (b + 1) * _BLK)
-            wb = w_rel[sl]
             vb = valid[sl]
-            big = jnp.int32(1 << 20)
-            w0 = jnp.min(jnp.where(vb, wb, big), axis=1, keepdims=True)
-            has = jnp.any(vb, axis=1, keepdims=True)
-            blk_base = jnp.minimum(jnp.min(jnp.where(has, w0, big)),
+            blk_base = jnp.minimum(jnp.min(w0_or_big[sl]),
                                    jnp.int32(tile_rows))
-            srel = jnp.where(has, w0 - blk_base, -1)
+            srel = jnp.where(has_row[sl], w0_row[sl] - blk_base, -1)
             s_lo = (srel == band_iota).astype(jnp.int8)
             s_hi = (srel + 1 == band_iota).astype(jnp.int8)
-            m_lo = vb & (wb == w0)
-            m_hi = vb & (wb == w0 + 1)
+            m_lo = vb & (lane_blk >= phi[sl])
+            m_hi = vb & (lane_blk < phi[sl])
             outs = [jnp.zeros((_BAND, LANES), jnp.int32)
                     for _ in range(num_ops)]
             for part_m, smat in ((m_lo, s_lo), (m_hi, s_hi)):

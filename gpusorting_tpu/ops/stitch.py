@@ -41,7 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
 _BLK = 128  # input rows per placement block
-_BAND = _BLK + 2  # output-row band per block (<=128*128 elems span <=129 rows)
+# covers the <=129-row span of a block AND is a multiple of 8: dynamic VMEM
+# slices of non-sublane-multiple height relayout catastrophically
+_BAND = 144
 
 
 def _tuning():
