@@ -181,27 +181,27 @@ def _binning_kernel(sched_ref, bases_ref, *refs, tile_rows: int, shift: int,
             blk_base = jnp.minimum(jnp.min(w0_or_big[sl]),
                                    jnp.int32(tile_rows))
             srel = jnp.where(has_row[sl], w0_row[sl] - blk_base, -1)
-            s_lo = (srel == band_iota).astype(jnp.int8)
-            s_hi = (srel + 1 == band_iota).astype(jnp.int8)
-            m_lo = vb & (lane_blk >= phi[sl])
-            m_hi = vb & (lane_blk < phi[sl])
+            s_lo = (srel == band_iota).astype(jnp.bfloat16)
+            s_hi = (srel + 1 == band_iota).astype(jnp.bfloat16)
+            # bf16 byte planes hold 0..255 exactly, so masked-out zeros are
+            # correct without the int8 -128 bias / occupancy matmul; the
+            # hi part is a subtraction instead of a second mask
+            is_lo = lane_blk >= phi[sl]
             outs = [jnp.zeros((_BAND, LANES), jnp.int32)
                     for _ in range(num_ops)]
-            for part_m, smat in ((m_lo, s_lo), (m_hi, s_hi)):
-                occ = jax.lax.dot_general(
-                    smat, part_m.astype(jnp.int8), (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)
-                bias = occ * jnp.int32(-2139062144)
-                for o in range(num_ops):
-                    acc_o = outs[o]
+            for o in range(num_ops):
+                xv = jnp.where(vb, xr[o][sl], 0)
+                xlo = jnp.where(is_lo, xv, 0)
+                xhi = xv - xlo
+                acc_o = outs[o]
+                for part_x, smat in ((xlo, s_lo), (xhi, s_hi)):
                     for kk in range(4):
-                        byte = ((xr[o][sl] >> (8 * kk)) & 255) - 128
-                        mat = jnp.where(part_m, byte, 0).astype(jnp.int8)
+                        mat = ((part_x >> (8 * kk)) & 255).astype(jnp.bfloat16)
                         r = jax.lax.dot_general(
                             smat, mat, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-                        acc_o = acc_o + (r << (8 * kk))
-                    outs[o] = acc_o + bias
+                            preferred_element_type=jnp.float32)
+                        acc_o = acc_o + (r.astype(jnp.int32) << (8 * kk))
+                outs[o] = acc_o
             for o, acc in enumerate(accs):
                 acc[d, pl.ds(blk_base, _BAND), :] = (
                     acc[d, pl.ds(blk_base, _BAND), :] + outs[o])
