@@ -116,6 +116,14 @@ def count_order_violations(keys: np.ndarray, descending: bool = False) -> int:
 
 def count_pair_violations(keys: np.ndarray, payload: np.ndarray,
                           descending: bool = False) -> int:
+    """Adjacent-pair order check over keys AND payload bit patterns.
+
+    Valid only for the reference's payload==key test fixture (the payload is
+    initialized equal to the key, so a payload inversion == a stability or
+    permutation error — Shaders/Utility.hlsl:147-231).  On real (key, payload)
+    data with unrelated payloads this reports false 'violations'; use the
+    oracle-identity check instead.
+    """
     lib = _load()
     keys = np.ascontiguousarray(keys.view(np.uint32))
     payload = np.ascontiguousarray(payload.view(np.uint32))

@@ -37,8 +37,23 @@ This engine is exact and skew-independent but VPU-bound (the within-row
 bitonic pack + 16 rotations — docs/ROADMAP_perf.md has the cost sheet), so
 it currently trails the XLA path; it exists to complete the native radix
 pipeline end-to-end and as the optimization substrate for round 2.
-TPU-only: the 16-stream dynamic-size DMA writer cannot run under interpret
-mode (dynamic-size slices are not expressible there).
+
+Interpret mode (CPU): dynamic-size DMA slices are not expressible under the
+Pallas interpreter, so the 16-stream writer falls back to a bounded
+`fori_loop` of single-row copies (static size 1, dynamic start) — identical
+output, used by CI.
+
+Restartable carries (the EmulatedDeadlocking analog): every pass can be
+executed as a chain of tile-range segments.  Each segment flushes its
+partial stream rows (RMW-OR) and reports its final cursors; the next segment
+re-absorbs those partial rows from the output buffer (input/output aliasing)
+and continues.  This proves the pass depends ONLY on the documented
+sequential-carry contract — the TPU-native counterpart of the reference's
+skip-tiles-then-revisit deadlock emulation (EmulatedDeadlocking.hlsl:15-247):
+there, tiles execute out of order and the lookback fallback restores
+progress; here, in-order execution is a hardware guarantee, and the hazard
+class that remains (a grid split across kernel invocations or cores) is
+exercised by the segmented run, which must be bit-exact with the fused one.
 """
 
 from __future__ import annotations
@@ -307,6 +322,10 @@ def _sort_radix16(operands, tile_rows: int):
             "radix16 engine is TPU-only (its multi-stream dynamic-size DMA "
             "writer cannot run under interpret mode); use Backend.XLA or "
             "the bitonic network off-TPU")
+    if tile_rows < _BLK or tile_rows % _BLK:
+        raise ValueError(
+            f"tile_rows must be a positive multiple of {_BLK}, got {tile_rows}"
+            " (the binning kernel places whole 128-row blocks)")
     num_ops = len(operands)
     n = operands[0].shape[0]
     rows = max(tile_rows, -(-n // LANES))

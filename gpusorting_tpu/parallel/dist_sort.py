@@ -111,8 +111,15 @@ def _pack_buckets(codes, aux, bucket, n_dev: int, cap: int):
         ).reshape(n_dev, cap)
 
     send_codes = scatter(codes, _SENTINEL)
-    send_aux = tuple(scatter(a, jnp.zeros((), a.dtype)) for a in aux)
-    return send_codes, send_aux, overflow
+    # pad gidx with the max index so pad rows sort AFTER real elements even
+    # when a real key's code is 0xFFFFFFFF (legal u32 max)
+    send_aux = (scatter(aux[0], _SENTINEL),) + tuple(
+        scatter(a, jnp.zeros((), a.dtype)) for a in aux[1:])
+    # exact per-destination send counts (replaces sentinel-based counting,
+    # which miscounts real 0xFFFFFFFF keys as padding)
+    dst = jax.lax.broadcasted_iota(jnp.int32, (n_dev, bucket.shape[0]), 0)
+    send_counts = jnp.sum(bucket[None, :] == dst, axis=1, dtype=jnp.uint32)
+    return send_codes, send_aux, send_counts, overflow
 
 
 def _local_shard_sort(codes, gidx, payload, spl_c, spl_g, n_dev, cap, axis):
@@ -122,19 +129,23 @@ def _local_shard_sort(codes, gidx, payload, spl_c, spl_g, n_dev, cap, axis):
 
     bucket = _bucket_of(codes, gidx, spl_c, spl_g)
     aux = (gidx,) if payload is None else (gidx, payload)
-    send_c, send_aux, overflow = _pack_buckets(codes, aux, bucket, n_dev, cap)
+    send_c, send_aux, send_counts, overflow = _pack_buckets(
+        codes, aux, bucket, n_dev, cap)
 
     recv_c = jax.lax.all_to_all(send_c, axis, 0, 0, tiled=True)
     recv_aux = tuple(
         jax.lax.all_to_all(a, axis, 0, 0, tiled=True) for a in send_aux
     )
+    # column `me` of the (src, dst) count matrix, summed across sources
+    recv_counts = jax.lax.all_to_all(send_counts, axis, 0, 0, tiled=True)
 
     rc = recv_c.reshape(-1)
     rg = recv_aux[0].reshape(-1)
-    # stable order: (code, original global index); sentinels sort last
+    # stable order: (code, original global index); pads carry max gidx so
+    # they sort last even among real max-code keys
     ops_in = (rc, rg) + tuple(a.reshape(-1) for a in recv_aux[1:])
     out = jax.lax.sort(ops_in, num_keys=2, is_stable=False)
-    count = jnp.sum(rc != _SENTINEL, dtype=jnp.uint32)
+    count = jnp.sum(recv_counts, dtype=jnp.uint32)
     total_overflow = jax.lax.psum(overflow, axis)
     return out, count, total_overflow
 
@@ -160,10 +171,13 @@ def distributed_sort(
     if n % n_dev:
         raise ValueError(f"n={n} must be divisible by mesh size {n_dev}")
     n_local = n // n_dev
-    # per-(src,dst) bucket capacity: tie-broken splitters balance loads to
-    # ~n_local/D per bucket, so the receive buffer stays O(slack * n_local)
-    # regardless of D (weak-scaling-safe); `slack` absorbs sampling error
-    cap = max(128, int(np.ceil(n_local * slack / n_dev / 128)) * 128)
+    # Per-(src,dst) bucket capacity.  Tie-broken splitters balance loads to
+    # ~n_local/D per DESTINATION, but a single (src,dst) cell can still hold
+    # all n_local elements of a source (pre-sorted or all-equal input maps a
+    # device's whole contiguous gidx range to one destination), so the cell
+    # cap must be n_local to guarantee zero drops.  `slack` only pads the
+    # receive-side sort width.
+    cap = max(128, -(-n_local // 128) * 128)
 
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)

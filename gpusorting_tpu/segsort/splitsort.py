@@ -56,9 +56,10 @@ def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
     readback (SplitSort.cuh:654-668); this host-side inspection of the
     offsets array is the same pattern.
     """
-    if isinstance(seg_offsets, jax.core.Tracer):
+    try:
+        offs = np.asarray(seg_offsets)
+    except jax.errors.ConcretizationTypeError:
         return None  # offsets not concrete under jit: composite path
-    offs = np.asarray(seg_offsets)
     if offs.shape[0] != seg_count or seg_count == 0:
         return None
     if total_length % seg_count:

@@ -67,6 +67,41 @@ def test_distributed_low_entropy(cpu_mesh):
     )
 
 
+def test_distributed_presorted(cpu_mesh):
+    """Pre-sorted input: each device's whole shard maps to ONE destination
+    (src,dst) cell — the adversarial case for per-cell capacity."""
+    n = 1 << 13
+    keys = jnp.arange(n, dtype=jnp.uint32)
+    out, overflow = dist_sort.distributed_sort_gather(keys, mesh=cpu_mesh)
+    assert overflow == 0
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(keys))
+
+
+def test_distributed_all_equal(cpu_mesh):
+    """All-equal keys: only the gidx tiebreak spreads the load; no drops."""
+    n = 1 << 13
+    keys = jnp.full((n,), jnp.uint32(42))
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    (out_k, out_v), overflow = dist_sort.distributed_sort_gather(
+        keys, vals, mesh=cpu_mesh
+    )
+    assert overflow == 0
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(vals))
+
+
+def test_distributed_max_code_keys(cpu_mesh):
+    """Real 0xFFFFFFFF keys must not be counted as padding."""
+    n = 1 << 12
+    base = prng.make_test_keys(n, seed=11)
+    keys = jnp.where(jnp.arange(n) % 5 == 0, jnp.uint32(0xFFFFFFFF), base)
+    out, overflow = dist_sort.distributed_sort_gather(keys, mesh=cpu_mesh)
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable")
+    )
+
+
 def test_distributed_f32(cpu_mesh):
     n = 1 << 12
     keys = prng.make_test_keys(n, seed=8, key_dtype=jnp.float32)
