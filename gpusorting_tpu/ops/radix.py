@@ -46,22 +46,31 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
     """
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
-    if variant == "device_radix" and _on_tpu():
+    if variant == "device_radix":
+        # the 3-phase reduce-then-scan pipeline (DeviceRadixSort analog)
+        from . import rts
+
+        sc = rts.sort_codes_rts(codes)
+    elif variant == "ffx":
+        # FFX ParallelSort analog: the fused 4-bit x 8-pass engine at the
+        # reference's FIXED tuning discipline (FFXParallelSort.cpp:28-43 —
+        # no per-device tuning; here a fixed small tile)
         from . import radix16
 
-        sc = radix16.sort_codes_radix16(codes)
+        sc = radix16.sort_codes_radix16(codes, tile_rows=256)
+    elif variant == "emulated_deadlocking":
+        # adversarial-scheduling analog: the same radix pipeline executed as
+        # segmented tile ranges with explicit carry handoff (radix16 docs)
+        from . import radix16
+
+        sc = radix16.sort_codes_radix16(
+            codes, segments=radix16.adversarial_segments(codes.shape[0]))
     else:
         sc = bitonic.sort_codes(codes)
     out = codec.decode_keys(sc, kt)
     if order == Order.DESCENDING:
         out = jnp.flip(out, axis=0)
     return out
-
-
-def _on_tpu() -> bool:
-    import jax
-
-    return jax.devices()[0].platform == "tpu"
 
 
 def sort_pairs(
@@ -77,10 +86,21 @@ def sort_pairs(
     """
     kt = codec.key_type_of(keys)
     bits = codec.payload_to_bits(values)
-    if variant == "device_radix" and _on_tpu() and bits.dtype != jnp.uint64:
+    if variant == "device_radix" and bits.dtype != jnp.uint64:
+        from . import rts
+
+        sc, sbits = rts.sort_pairs_rts(codec.encode_keys(keys), bits)
+    elif (variant in ("ffx", "emulated_deadlocking")
+            and bits.dtype != jnp.uint64):
         from . import radix16
 
-        sc, sbits = radix16.sort_pairs_radix16(codec.encode_keys(keys), bits)
+        if variant == "emulated_deadlocking":
+            segs = radix16.adversarial_segments(keys.shape[0])
+            sc, sbits = radix16.sort_pairs_radix16(
+                codec.encode_keys(keys), bits, segments=segs)
+        else:
+            sc, sbits = radix16.sort_pairs_radix16(
+                codec.encode_keys(keys), bits, tile_rows=256)
         out_k = codec.decode_keys(sc, kt)
         out_v = codec.bits_to_payload(sbits, values.dtype)
         if order == Order.DESCENDING:

@@ -93,53 +93,52 @@ def _within_row_sort_schedule():
     return np.array(sched, np.int32)
 
 
-def _binning_kernel(sched_ref, bases_ref, *refs, tile_rows: int, shift: int,
-                    num_ops: int):
-    """One LSD radix-16 pass over one tile.
+def _pack_rows(sched_ref, xin, shift, tile_rows: int, sp=None):
+    """Sort each 128-lane row by (4-bit digit, lane): bitonic on packed i32.
 
-    refs: num_ops input refs, num_ops HBM output refs, then scratch:
-    carry rows (num_ops*16, 128), cursors (16,) SMEM,
-    num_ops accumulators (16, tile_rows+BAND, 128), one DMA semaphore.
+    Returns (xs, dsort): the operands with rows digit-grouped (stably) and
+    the per-lane sorted digits.  Shared by the fused (OneSweep-like) and the
+    3-phase (DeviceRadixSort) engines.  When `sp` (the row-sorted packed
+    array, produced OUTSIDE the kernel by XLA's batched minor-axis sort) is
+    given, the in-kernel network is skipped and only the permutation apply
+    (one lane-gather per operand) runs here.
     """
-    in_refs = refs[:num_ops]
-    out_refs = refs[num_ops:2 * num_ops]
-    carry_rows = refs[2 * num_ops]
-    cursors = refs[2 * num_ops + 1]
-    accs = refs[2 * num_ops + 2:2 * num_ops + 2 + num_ops]
-    sem = refs[2 * num_ops + 2 + num_ops]
-
-    t = pl.program_id(0)
-    nblk = tile_rows // _BLK
     lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
-    row1 = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+    if sp is None:
+        digit = jax.lax.shift_right_logical(xin[0], shift) & 15
+        packed = (digit << 7) | lane
 
-    @pl.when(t == 0)
-    def _():
-        carry_rows[:] = jnp.zeros_like(carry_rows)
-        for d in range(NBUCKETS):
-            cursors[d] = bases_ref[d]
+        def stage(s, y):
+            j = sched_ref[s, 0]
+            k = sched_ref[s, 1]
+            idx = lane ^ j
+            peer = jnp.take_along_axis(y, idx, axis=1)
+            want_min = ((lane & j) != 0) == ((lane & k) != 0)
+            take_self = (y < peer) == want_min
+            return jnp.where(take_self, y, peer)
 
-    xin = tuple(r[:] for r in in_refs)
-    digit = jax.lax.shift_right_logical(xin[0], shift) & 15
-
-    # --- 1. within-row pack by (digit, lane): bitonic on packed i32 ---
-    packed = (digit << 7) | lane
-
-    def stage(s, y):
-        j = sched_ref[s, 0]
-        k = sched_ref[s, 1]
-        idx = lane ^ j
-        peer = jnp.take_along_axis(y, idx, axis=1)
-        want_min = ((lane & j) != 0) == ((lane & k) != 0)
-        take_self = (y < peer) == want_min
-        return jnp.where(take_self, y, peer)
-
-    packed = jax.lax.fori_loop(0, sched_ref.shape[0], stage, packed)
+        packed = jax.lax.fori_loop(0, sched_ref.shape[0], stage, packed)
+    else:
+        packed = sp
     src = packed & 127
     dsort = packed >> 7
     xs = tuple(jnp.take_along_axis(x, src, axis=1) for x in xin)
+    return xs, dsort
 
-    # --- 2. per-row run starts + per-tile row prefixes per digit ---
+
+def _rowsort_packed(x2d, shift):
+    """XLA batched row sort of (digit<<7 | lane) — the out-of-kernel half of
+    the pack (see _XLA_ROWSORT)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
+    digit = jax.lax.shift_right_logical(x2d, shift) & 15
+    packed = (digit << 7) | lane
+    return jax.lax.sort((packed,), num_keys=1, is_stable=False,
+                        dimension=1)[0]
+
+
+def _run_tables(dsort, tile_rows: int):
+    """(R,16) run-start / count / row-prefix tables + (1,16) tile counts."""
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
     starts = []
     for d in range(NBUCKETS + 1):
         if d == 0:
@@ -160,78 +159,253 @@ def _binning_kernel(sched_ref, bases_ref, *refs, tile_rows: int, shift: int,
         s *= 2
     rowpref = rp - cnt                                          # (R,16)
     tilecnt = rp[tile_rows - 1:tile_rows, :]                    # (1,16)
+    return rowstart, cnt, rowpref, tilecnt
 
-    for acc in accs:
-        acc[:] = jnp.zeros_like(acc)
 
+import os as _os
+
+_SKIP_EMPTY = _os.environ.get("GST_RADIX16_SKIP_EMPTY", "1") == "1"
+# f32 16-bit two-plane placement is exact and halves plane work, but
+# f32xf32 dot_general CRASHES this Mosaic backend at runtime
+# (FailedPrecondition, measured round 2) — default stays on the bf16
+# 8-bit four-plane path.
+_F32_PLANES = _os.environ.get("GST_RADIX16_F32_PLANES", "0") == "1"
+_TOPS_DISCIPLINE = _os.environ.get("GST_RADIX16_TOPS", "1") == "1"
+# Within-row digit grouping strategy: XLA's batched minor-axis sort of the
+# packed (digit<<7 | lane) rows measured 0.67 ms/2^24 vs 1.8 ms for the
+# in-kernel bitonic-28 (probes/probe12_rowsort.py); the permutation is
+# APPLIED in-kernel (lane-gather at 289 Gelem/s) because XLA's own
+# take_along_axis runs at 0.11 Gelem/s on this part.
+_XLA_ROWSORT = _os.environ.get("GST_RADIX16_XLA_ROWSORT", "1") == "1"
+# Fuse each part's four byte planes into ONE width-512 matmul: the per-sort
+# matmul count at 2^24 drops from ~32K tiny dispatches to ~8K.
+_WIDE_MM = _os.environ.get("GST_RADIX16_WIDE_MM", "0") == "1"
+
+
+def _place_bucket(d, cur, accs, tops, xs, rowstart, cnt, rowpref,
+                  num_ops: int, tile_rows: int):
+    """Rotate bucket d's runs to their output phase and place them into
+    accs[*][d] (rows relative to cur>>7) via banded f32 16-bit-plane matmuls.
+
+    The accumulator is NEVER bulk-zeroed: the per-bucket high-water mark
+    (tops) makes each band write an assign above the mark and an accumulate
+    below it, so stale rows from earlier tiles are overwritten exactly when
+    first touched (bulk zeroing cost ~20 writes/element/tile).  Blocks with
+    no elements of this bucket are skipped entirely, making the work
+    proportional to bucket occupancy — skewed / low-entropy digit
+    distributions get FASTER (reference entropy family, README.md:25-27).
+    """
+    nblk = tile_rows // _BLK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
     band_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BAND), 1)
+    band_row = jax.lax.broadcasted_iota(jnp.int32, (_BAND, 1), 0)
     lane_blk = jax.lax.broadcasted_iota(jnp.int32, (_BLK, LANES), 1)
+
+    cur_row = cur >> 7
+    rs_d = rowstart[:, d:d + 1]
+    T = cur + rowpref[:, d:d + 1] - rs_d                     # (R,1)
+    k_idx = (lane - T) & (LANES - 1)
+    valid_all = (k_idx >= rs_d) & (k_idx < rs_d + cnt[:, d:d + 1])
+    # run geometry from the (R,1) tables — NO elementwise reductions:
+    # the run starts at absolute element T+rowstart, i.e. acc row w0 and
+    # lane phase phi; non-wrapped (lo) elements sit at lanes >= phi
+    run_abs = T + rs_d                                       # (R,1)
+    w0_row = (run_abs >> 7) - cur_row
+    phi = run_abs & (LANES - 1)
+    has_row = cnt[:, d:d + 1] > 0
+    big = jnp.int32(1 << 20)
+    w0_or_big = jnp.where(has_row, w0_row, big)
+
+    def body(b, sl, blk_min):
+        blk_base = jnp.minimum(blk_min, jnp.int32(tile_rows))
+        idx = k_idx[sl]
+        xr = tuple(jnp.take_along_axis(x[sl], idx, axis=1)
+                   for x in xs)
+        vb = valid_all[sl]
+        srel = jnp.where(has_row[sl], w0_row[sl] - blk_base, -1)
+        is_lo = lane_blk >= phi[sl]
+        if _TOPS_DISCIPLINE:
+            top = tops[d]
+            keep = band_row < (top - blk_base)               # (BAND,1)
+        for o, acc in enumerate(accs):
+            xv = jnp.where(vb, xr[o], 0)
+            xlo = jnp.where(is_lo, xv, 0)
+            xhi = xv - xlo
+            out = jnp.zeros((_BAND, LANES), jnp.int32)
+            if _F32_PLANES:
+                s_lo = (srel == band_iota).astype(jnp.float32)
+                s_hi = (srel + 1 == band_iota).astype(jnp.float32)
+                for part_x, smat in ((xlo, s_lo), (xhi, s_hi)):
+                    # two 16-bit planes, exact in f32: each output cell
+                    # receives at most ONE element (lane-disjoint runs), so
+                    # sums are single products 0/1 * [0,2^16) — exact, and
+                    # the plane recombine is an OR
+                    p_lo = (part_x & 0xFFFF).astype(jnp.float32)
+                    p_hi = jax.lax.shift_right_logical(
+                        part_x, 16).astype(jnp.float32)
+                    r_lo = jax.lax.dot_general(
+                        smat, p_lo, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    r_hi = jax.lax.dot_general(
+                        smat, p_hi, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    out = out + (r_lo.astype(jnp.int32)
+                                 | (r_hi.astype(jnp.int32) << 16))
+            elif _WIDE_MM:
+                s_lo = (srel == band_iota).astype(jnp.bfloat16)
+                s_hi = (srel + 1 == band_iota).astype(jnp.bfloat16)
+                for part_x, smat in ((xlo, s_lo), (xhi, s_hi)):
+                    mat = jnp.concatenate(
+                        [((part_x >> (8 * kk)) & 255).astype(jnp.bfloat16)
+                         for kk in range(4)], axis=1)          # (BLK, 512)
+                    r = jax.lax.dot_general(
+                        smat, mat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # (BAND, 512)
+                    ri = r.astype(jnp.int32)
+                    for kk in range(4):
+                        out = out + (
+                            ri[:, kk * LANES:(kk + 1) * LANES] << (8 * kk))
+            else:
+                s_lo = (srel == band_iota).astype(jnp.bfloat16)
+                s_hi = (srel + 1 == band_iota).astype(jnp.bfloat16)
+                for part_x, smat in ((xlo, s_lo), (xhi, s_hi)):
+                    for kk in range(4):
+                        mat = ((part_x >> (8 * kk)) & 255).astype(
+                            jnp.bfloat16)
+                        r = jax.lax.dot_general(
+                            smat, mat, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        out = out + (r.astype(jnp.int32) << (8 * kk))
+            prev = acc[d, pl.ds(blk_base, _BAND), :]
+            if _TOPS_DISCIPLINE:
+                acc[d, pl.ds(blk_base, _BAND), :] = jnp.where(
+                    keep, prev + out, out)
+            else:
+                acc[d, pl.ds(blk_base, _BAND), :] = prev + out
+        if _TOPS_DISCIPLINE:
+            tops[d] = blk_base + _BAND
+
+    for b in range(nblk):
+        sl = slice(b * _BLK, (b + 1) * _BLK)
+        blk_min = jnp.min(w0_or_big[sl])
+        if _SKIP_EMPTY:
+            @pl.when(blk_min < big)
+            def _(b=b, sl=sl, blk_min=blk_min):
+                body(b, sl, blk_min)
+        else:
+            body(b, sl, blk_min)
+
+
+def _binning_kernel(sched_ref, ctrl_ref, *refs, tile_rows: int,
+                    num_ops: int, interpret: bool, resume: bool,
+                    do_flush: bool, use_sp: bool = _XLA_ROWSORT,
+                    flush_write: bool = False):
+    """One LSD radix-16 pass over a range of tiles.
+
+    refs: num_ops input refs, [when resume: num_ops prev-output ANY refs +
+    one carry_in (num_ops*16, 128) VMEM ref], then outputs: num_ops HBM data
+    refs, cursors_out (16,) SMEM, carry_out (num_ops*16, 128); then scratch:
+    carry rows, cursors (16,) SMEM, num_ops accumulators
+    (16, tile_rows+BAND, 128), one DMA semaphore.
+
+    ctrl_ref[0:16] holds the starting cursors (the digit bases for a fresh
+    pass, or the previous segment's cursors_out for a resumed one) and
+    ctrl_ref[16] the pass's digit shift — runtime values so ONE compiled
+    kernel serves all 8 passes.  The RMW flush of partial stream rows runs
+    only when `do_flush` (the final segment); intermediate segments hand
+    their carry state to the next segment via (cursors_out, carry_out)
+    instead — the same state evolution as the fused grid, so segmented runs
+    are bit-exact by construction.
+    """
+    sp_ref = refs[0] if use_sp else None
+    refs = refs[1:] if use_sp else refs
+    in_refs = refs[:num_ops]
+    pos = num_ops
+    prev_refs = refs[pos:pos + num_ops] if resume else ()
+    pos += num_ops if resume else 0
+    carry_in = refs[pos] if resume else None
+    pos += 1 if resume else 0
+    out_refs = refs[pos:pos + num_ops]
+    cursors_out = refs[pos + num_ops]
+    carry_out = refs[pos + num_ops + 1]
+    scratch = refs[pos + num_ops + 2:]
+    carry_rows = scratch[0]
+    cursors = scratch[1]
+    tops = scratch[2]
+    accs = scratch[3:3 + num_ops]
+    sem = scratch[3 + num_ops]
+
+    t = pl.program_id(0)
+    nblk = tile_rows // _BLK
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+
+    @pl.when(t == 0)
+    def _():
+        for d in range(NBUCKETS):
+            cursors[d] = ctrl_ref[d]
+        if not resume:
+            carry_rows[:] = jnp.zeros_like(carry_rows)
+        else:
+            carry_rows[:] = carry_in[:]
+            if interpret:
+                # the interpreter does not alias buffers: copy the previous
+                # segment's output forward (on TPU input_output_aliases makes
+                # out_refs literally the previous buffers)
+                for o in range(num_ops):
+                    cp = pltpu.make_async_copy(prev_refs[o], out_refs[o], sem)
+                    cp.start()
+                    cp.wait()
+
+    xin = tuple(r[:] for r in in_refs)
+
+    # --- 1. within-row pack by (digit, lane) ---
+    xs, dsort = _pack_rows(sched_ref, xin, ctrl_ref[NBUCKETS], tile_rows,
+                           sp=sp_ref[:] if use_sp else None)
+
+    # --- 2. per-row run starts + per-tile row prefixes per digit ---
+    rowstart, cnt, rowpref, tilecnt = _run_tables(dsort, tile_rows)
+
+    if not _TOPS_DISCIPLINE:
+        for acc in accs:
+            acc[:] = jnp.zeros_like(acc)
 
     # --- 3. per bucket: rotate, place, stream out ---
     for d in range(NBUCKETS):
         cur = cursors[d]                                         # elements
         cur_row = cur >> 7
-        rs_d = rowstart[:, d:d + 1]
-        T = cur + rowpref[:, d:d + 1] - rs_d                     # (R,1)
-        idx = (lane - T) & (LANES - 1)
-        xr = tuple(jnp.take_along_axis(x, idx, axis=1) for x in xs)
-        k_orig = idx                                             # sorted lane
-        valid = (k_orig >= rs_d) & (k_orig < rs_d + cnt[:, d:d + 1])
-        # run geometry from the (R,1) tables — NO elementwise reductions:
-        # the run starts at absolute element T+rowstart, i.e. acc row w0 and
-        # lane phase phi; non-wrapped (lo) elements sit at lanes >= phi
-        run_abs = T + rs_d                                       # (R,1)
-        w0_row = (run_abs >> 7) - cur_row
-        phi = run_abs & (LANES - 1)
-        has_row = cnt[:, d:d + 1] > 0
-        big = jnp.int32(1 << 20)
-        w0_or_big = jnp.where(has_row, w0_row, big)
         for o, acc in enumerate(accs):
             acc[d, 0:1, :] = carry_rows[o * NBUCKETS + d:
                                         o * NBUCKETS + d + 1, :]
-
-        for b in range(nblk):
-            sl = slice(b * _BLK, (b + 1) * _BLK)
-            vb = valid[sl]
-            blk_base = jnp.minimum(jnp.min(w0_or_big[sl]),
-                                   jnp.int32(tile_rows))
-            srel = jnp.where(has_row[sl], w0_row[sl] - blk_base, -1)
-            s_lo = (srel == band_iota).astype(jnp.bfloat16)
-            s_hi = (srel + 1 == band_iota).astype(jnp.bfloat16)
-            # bf16 byte planes hold 0..255 exactly, so masked-out zeros are
-            # correct without the int8 -128 bias / occupancy matmul; the
-            # hi part is a subtraction instead of a second mask
-            is_lo = lane_blk >= phi[sl]
-            outs = [jnp.zeros((_BAND, LANES), jnp.int32)
-                    for _ in range(num_ops)]
-            for o in range(num_ops):
-                xv = jnp.where(vb, xr[o][sl], 0)
-                xlo = jnp.where(is_lo, xv, 0)
-                xhi = xv - xlo
-                acc_o = outs[o]
-                for part_x, smat in ((xlo, s_lo), (xhi, s_hi)):
-                    for kk in range(4):
-                        mat = ((part_x >> (8 * kk)) & 255).astype(jnp.bfloat16)
-                        r = jax.lax.dot_general(
-                            smat, mat, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-                        acc_o = acc_o + (r.astype(jnp.int32) << (8 * kk))
-                outs[o] = acc_o
-            for o, acc in enumerate(accs):
-                acc[d, pl.ds(blk_base, _BAND), :] = (
-                    acc[d, pl.ds(blk_base, _BAND), :] + outs[o])
+        tops[d] = jnp.int32(1)
+        _place_bucket(d, cur, accs, tops, xs, rowstart, cnt, rowpref,
+                      num_ops, tile_rows)
 
         new_cur = cur + tilecnt[0, d]
         full_rows = (new_cur >> 7) - cur_row
 
         @pl.when(full_rows > 0)
         def _(d=d, full_rows=full_rows, cur_row=cur_row):
-            for o in range(num_ops):
-                cp = pltpu.make_async_copy(
-                    accs[o].at[d, pl.ds(0, full_rows), :],
-                    out_refs[o].at[pl.ds(cur_row, full_rows), :], sem)
-                cp.start()
-                cp.wait()
+            if interpret:
+                # the interpreter cannot express dynamic-SIZE slices; stream
+                # row by row (static size 1, dynamic start) instead
+                def row_copy(i, _):
+                    for o in range(num_ops):
+                        cp = pltpu.make_async_copy(
+                            accs[o].at[d, pl.ds(i, 1), :],
+                            out_refs[o].at[pl.ds(cur_row + i, 1), :], sem)
+                        cp.start()
+                        cp.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, full_rows, row_copy, 0)
+            else:
+                for o in range(num_ops):
+                    cp = pltpu.make_async_copy(
+                        accs[o].at[d, pl.ds(0, full_rows), :],
+                        out_refs[o].at[pl.ds(cur_row, full_rows), :], sem)
+                    cp.start()
+                    cp.wait()
 
         rem = new_cur & (LANES - 1)
         keep = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) < rem
@@ -241,72 +415,146 @@ def _binning_kernel(sched_ref, bases_ref, *refs, tile_rows: int, shift: int,
                 jnp.where(keep, tail, 0))
         cursors[d] = new_cur
 
-    # --- 4. final flush: RMW-OR each stream's partial row into place ---
+    # --- 4. at the segment's last tile: export carry state; on the FINAL
+    # segment also RMW-OR each stream's partial row into place ---
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
+        carry_out[:] = carry_rows[:]
+
         def flush(d, _):
             rw = cursors[d] >> 7
+            cursors_out[d] = cursors[d]
 
-            @pl.when((cursors[d] & (LANES - 1)) > 0)
-            def _():
-                for o in range(num_ops):
-                    cp1 = pltpu.make_async_copy(
-                        out_refs[o].at[pl.ds(rw, 1), :],
-                        accs[o].at[0, pl.ds(0, 1), :], sem)
-                    cp1.start()
-                    cp1.wait()
-                    merged = accs[o][0, 0:1, :] | carry_rows[
-                        pl.ds(o * NBUCKETS + d, 1), :]
-                    accs[o][0, 0:1, :] = merged
-                    cp2 = pltpu.make_async_copy(
-                        accs[o].at[0, pl.ds(0, 1), :],
-                        out_refs[o].at[pl.ds(rw, 1), :], sem)
-                    cp2.start()
-                    cp2.wait()
+            if do_flush and flush_write:
+                # each output row belongs to exactly ONE stream (row-aligned
+                # stream regions): plain-write the zero-padded carry
+                @pl.when((cursors[d] & (LANES - 1)) > 0)
+                def _():
+                    for o in range(num_ops):
+                        cp = pltpu.make_async_copy(
+                            carry_rows.at[pl.ds(o * NBUCKETS + d, 1), :],
+                            out_refs[o].at[pl.ds(rw, 1), :], sem)
+                        cp.start()
+                        cp.wait()
+            elif do_flush:
+                @pl.when((cursors[d] & (LANES - 1)) > 0)
+                def _():
+                    for o in range(num_ops):
+                        cp1 = pltpu.make_async_copy(
+                            out_refs[o].at[pl.ds(rw, 1), :],
+                            accs[o].at[0, pl.ds(0, 1), :], sem)
+                        cp1.start()
+                        cp1.wait()
+                        merged = accs[o][0, 0:1, :] | carry_rows[
+                            pl.ds(o * NBUCKETS + d, 1), :]
+                        accs[o][0, 0:1, :] = merged
+                        cp2 = pltpu.make_async_copy(
+                            accs[o].at[0, pl.ds(0, 1), :],
+                            out_refs[o].at[pl.ds(rw, 1), :], sem)
+                        cp2.start()
+                        cp2.wait()
             return 0
 
         jax.lax.fori_loop(0, NBUCKETS, flush, 0)
 
 
-@functools.lru_cache(maxsize=64)
-def _build_pass(rows: int, tile_rows: int, shift: int, num_ops: int):
-    kern = functools.partial(_binning_kernel, tile_rows=tile_rows,
-                             shift=shift, num_ops=num_ops)
+@functools.lru_cache(maxsize=None)
+def _build_pass(rows: int, tile_rows: int, num_ops: int,
+                interpret: bool = False, num_tiles: int | None = None,
+                resume: bool = False, do_flush: bool = True,
+                external_sp: bool = False, flush_write: bool = False,
+                out_rows: int | None = None):
+    """Build one pass call over `num_tiles` tiles of a `rows`-row array.
 
-    def call(sched, bases, *xs):
+    A fresh call takes (sched, ctrl, *xs) — ctrl = [cursors(16), shift] —
+    and returns (*outs, cursors_out, carry_out).  A resume call additionally
+    takes the previous segment's outputs (aliased in place on TPU) plus its
+    carry_out, and starts its cursors from ctrl = the prior cursors_out.
+
+    external_sp: the caller supplies the row-sorted packed array (bucket ids
+    from splitters rather than digits — the splitsweep engine); call
+    signature becomes (sched, ctrl, sp, *xs...).  flush_write: stream
+    regions are row-aligned and exclusively owned, so the final partial-row
+    flush plain-writes instead of RMW-OR.  out_rows: output row count when
+    it differs from the input (bucket-padded layouts).
+    """
+    if num_tiles is None:
+        num_tiles = rows // tile_rows
+    if out_rows is None:
+        out_rows = rows
+    use_sp = _XLA_ROWSORT or external_sp
+    kern = functools.partial(_binning_kernel, tile_rows=tile_rows,
+                             num_ops=num_ops,
+                             interpret=interpret, resume=resume,
+                             do_flush=do_flush, use_sp=use_sp,
+                             flush_write=flush_write)
+
+    def call(sched, ctrl, *arrs):
+        extra = []
+        if external_sp:
+            extra = [arrs[0]]
+            arrs = arrs[1:]
+        elif _XLA_ROWSORT:
+            # XLA batched row sort does the within-row digit grouping; the
+            # kernel only applies the recovered permutation (probe12)
+            extra = [_rowsort_packed(arrs[0], ctrl[NBUCKETS])]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+             for _ in range(len(extra))]
+        in_specs += [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+                     for _ in range(num_ops)]
+        if resume:
+            in_specs += [pl.BlockSpec(memory_space=pl.ANY)
+                         for _ in range(num_ops)]
+            in_specs += [pl.BlockSpec((num_ops * NBUCKETS, LANES),
+                                      lambda i: (0, 0))]
+        # alias previous outputs in place (real aliasing is a TPU property;
+        # the interpreter copies them forward inside the kernel instead)
+        base = 2 + len(extra) + num_ops
+        aliases = ({base + o: o for o in range(num_ops)}
+                   if (resume and not interpret) else {})
+        arrs = tuple(extra) + tuple(arrs)
         return pl.pallas_call(
             kern,
-            grid=(rows // tile_rows,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ] + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
-                 for _ in range(num_ops)],
+            grid=(num_tiles,),
+            in_specs=in_specs,
             out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
-                            for _ in range(num_ops)),
+                            for _ in range(num_ops))
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),
+               pl.BlockSpec((num_ops * NBUCKETS, LANES), lambda i: (0, 0))),
             out_shape=tuple(
-                jax.ShapeDtypeStruct((rows + 2, LANES), jnp.int32)
-                for _ in range(num_ops)),
+                jax.ShapeDtypeStruct((out_rows + 2, LANES), jnp.int32)
+                for _ in range(num_ops))
+            + (jax.ShapeDtypeStruct((NBUCKETS,), jnp.int32),
+               jax.ShapeDtypeStruct((num_ops * NBUCKETS, LANES), jnp.int32)),
             scratch_shapes=[
                 pltpu.VMEM((num_ops * NBUCKETS, LANES), jnp.int32),
-                pltpu.SMEM((NBUCKETS,), jnp.int32),
+                pltpu.SMEM((NBUCKETS,), jnp.int32),   # cursors
+                pltpu.SMEM((NBUCKETS,), jnp.int32),   # tops (high-water)
             ] + [pltpu.VMEM((NBUCKETS, tile_rows + _BAND, LANES), jnp.int32)
                  for _ in range(num_ops)]
             + [pltpu.SemaphoreType.DMA(())],
+            input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 << 20, has_side_effects=True),
-        )(sched, bases, *xs)
+            interpret=interpret,
+        )(sched, ctrl, *arrs)
 
-    return call
+    # jit so tracing/compilation is cached across the 8 passes (the kernel is
+    # pass-agnostic: cursors and shift arrive via ctrl at runtime)
+    return jax.jit(call)
 
 
 def _is_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _bases_all_passes(x: jnp.ndarray) -> jnp.ndarray:
+def _bases_all_passes(x: jnp.ndarray,
+                      interpret: bool | None = None) -> jnp.ndarray:
     """(8,16) exclusive digit bases from one histogram read."""
-    hist8 = _kernels.global_histogram(x, passes=4)            # (4,256)
+    hist8 = _kernels.global_histogram(x, passes=4, interpret=interpret)
     joint = hist8.reshape(4, 16, 16)
     bases = []
     for p in range(8):
@@ -315,13 +563,16 @@ def _bases_all_passes(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(bases).astype(jnp.int32)
 
 
-def _sort_radix16(operands, tile_rows: int):
-    """Core: operands = (codes, *ride) u32 1-D; returns permuted operands."""
-    if not _is_tpu():
-        raise NotImplementedError(
-            "radix16 engine is TPU-only (its multi-stream dynamic-size DMA "
-            "writer cannot run under interpret mode); use Backend.XLA or "
-            "the bitonic network off-TPU")
+def _sort_radix16(operands, tile_rows: int, interpret: bool | None = None,
+                  segments: tuple[int, ...] | None = None):
+    """Core: operands = (codes, *ride) u32 1-D; returns permuted operands.
+
+    segments: optional tile-index cut points; each pass then runs as a chain
+    of restartable tile-range calls with explicit cursor handoff (the
+    EmulatedDeadlocking analog — must be bit-exact with the fused run).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
     if tile_rows < _BLK or tile_rows % _BLK:
         raise ValueError(
             f"tile_rows must be a positive multiple of {_BLK}, got {tile_rows}"
@@ -339,27 +590,74 @@ def _sort_radix16(operands, tile_rows: int):
         xs.append(x.reshape(rows, LANES).view(jnp.int32))
 
     bases = _bases_all_passes(
-        xs[0].reshape(-1).view(jnp.uint32))
+        xs[0].reshape(-1).view(jnp.uint32), interpret=interpret)
     sched = jnp.asarray(_within_row_sort_schedule())
+    total_tiles = rows // tile_rows
+    if segments:
+        bounds = sorted({0, total_tiles}
+                        | {s for s in segments if 0 < s < total_tiles})
     for p in range(8):
-        call = _build_pass(rows, tile_rows, 4 * p, num_ops)
-        ys = call(sched, bases[p], *xs)
+        shift_arr = jnp.full((1,), 4 * p, jnp.int32)
+        if not segments or len(bounds) == 2:
+            call = _build_pass(rows, tile_rows, num_ops, interpret)
+            res = call(sched, jnp.concatenate([bases[p], shift_arr]), *xs)
+            ys = res[:num_ops]
+        else:
+            cursors = bases[p]
+            ys, carry = None, None
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                call = _build_pass(rows, tile_rows, num_ops,
+                                   interpret, num_tiles=b - a,
+                                   resume=ys is not None,
+                                   do_flush=b == total_tiles)
+                seg_xs = [x[a * tile_rows:b * tile_rows] for x in xs]
+                extra = [] if ys is None else list(ys) + [carry]
+                ctrl = jnp.concatenate([cursors, shift_arr])
+                res = call(sched, ctrl, *seg_xs, *extra)
+                ys, cursors, carry = (res[:num_ops], res[num_ops],
+                                      res[num_ops + 1])
         xs = [y[:rows] for y in ys]
     return tuple(y.reshape(-1)[:n].view(jnp.uint32) for y in xs)
 
 
-def sort_codes_radix16(codes: jnp.ndarray,
-                       tile_rows: int = 512) -> jnp.ndarray:
-    """Full 8-pass LSD radix-16 sort of u32 codes (keys-only, TPU only)."""
-    return _sort_radix16((codes,), tile_rows)[0]
+def adversarial_segments(n: int, tile_rows: int = 512) -> tuple[int, ...]:
+    """Awkward tile-range cut points for the EmulatedDeadlocking analog.
+
+    Splits the pass grid right after the first tile, near thirds, and right
+    before the last tile — the boundary cases for the carry handoff
+    (reference intent: EmulatedDeadlocking.hlsl:15-247 forces the lookback
+    fallback; here the hazard class is a grid split, exercised directly).
+    """
+    rows = max(tile_rows, -(-n // LANES))
+    rows = -(-rows // tile_rows) * tile_rows
+    t = rows // tile_rows
+    return tuple(sorted({1, t // 3, t // 2, t - 1} - {0}))
+
+
+def _default_tile_rows() -> int:
+    from ..core.config import get_tuning_parameters
+
+    return get_tuning_parameters().radix_tile_rows
+
+
+def sort_codes_radix16(codes: jnp.ndarray, tile_rows: int | None = None,
+                       interpret: bool | None = None,
+                       segments: tuple[int, ...] | None = None) -> jnp.ndarray:
+    """Full 8-pass LSD radix-16 sort of u32 codes (keys-only)."""
+    tile_rows = tile_rows or _default_tile_rows()
+    return _sort_radix16((codes,), tile_rows, interpret, segments)[0]
 
 
 def sort_pairs_radix16(codes: jnp.ndarray, payload: jnp.ndarray,
-                       tile_rows: int = 512):
-    """Stable pair sort through the native radix pipeline (TPU only).
+                       tile_rows: int | None = None,
+                       interpret: bool | None = None,
+                       segments: tuple[int, ...] | None = None):
+    """Stable pair sort through the native radix pipeline.
 
     Returns (sorted_codes, permuted_payload) — bit-exact with
     jax.lax.sort((codes, payload), is_stable=True) because every pass is
     stable (see module docstring).
     """
-    return _sort_radix16((codes, payload.view(jnp.uint32)), tile_rows)
+    tile_rows = tile_rows or _default_tile_rows()
+    return _sort_radix16((codes, payload.view(jnp.uint32)), tile_rows,
+                         interpret, segments)
