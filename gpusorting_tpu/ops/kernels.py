@@ -128,6 +128,65 @@ def global_histogram(codes: jnp.ndarray, passes: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# Per-tile 4-bit histogram (the reduce-then-scan Upsweep analog)
+# ---------------------------------------------------------------------------
+
+
+def _tile_hist4_kernel(ctrl_ref, x_ref, o_ref, *, tile_rows: int):
+    """(16,) digit counts of one tile for the pass shift in ctrl_ref[0].
+
+    Reference: DeviceRadixSort.hlsl `Upsweep` :39-171 — per-block digit
+    counts written digit-major.  Here the transpose to digit-major happens
+    host-side on the tiny (T,16) table.
+    """
+    x = x_ref[:]
+    d = jax.lax.shift_right_logical(x, ctrl_ref[0]) & 15
+    io16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
+    oh = (d.reshape(tile_rows, 1, LANES) == io16).astype(jnp.int8)
+    counts = jnp.sum(oh, axis=(0, 2), dtype=jnp.int32)      # (16,)
+    o_ref[0:1, :] = counts.reshape(1, 16)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_tile_hist4(rows: int, tile_rows: int, interpret: bool):
+    kern = functools.partial(_tile_hist4_kernel, tile_rows=tile_rows)
+
+    def call(ctrl, x):
+        return pl.pallas_call(
+            kern,
+            grid=(rows // tile_rows,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 16), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((rows // tile_rows, 16),
+                                           jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+            interpret=interpret,
+        )(ctrl, x)
+
+    return jax.jit(call)
+
+
+def tile_histogram4(codes2d: jnp.ndarray, shift, tile_rows: int,
+                    interpret: bool | None = None) -> jnp.ndarray:
+    """(T, 16) per-tile 4-bit digit counts of a (rows, 128) u32/i32 array.
+
+    `tile_rows` must match the consuming scatter pass's tiling.  `shift` may
+    be a traced scalar — one compiled kernel serves all passes.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    rows = codes2d.shape[0]
+    assert rows % tile_rows == 0
+    ctrl = jnp.asarray(shift, jnp.int32).reshape(1)
+    return _build_tile_hist4(rows, tile_rows, interpret)(
+        ctrl, codes2d.view(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Grid-serialized exclusive scan
 # ---------------------------------------------------------------------------
 

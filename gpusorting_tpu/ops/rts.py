@@ -1,0 +1,280 @@
+"""DeviceRadixSort — the 3-phase reduce-then-scan native pipeline.
+
+Reference: Shaders/DeviceRadixSort.hlsl:39-514 (Upsweep → Scan → Downsweep)
+and its CUDA mirror DeviceRadixSort.cu.  TPU-native redesign at radix 16
+(4-bit digits, 8 passes): 8-bit digits are hostile to 128-lane run movement
+(at 256 buckets the average per-row run is half an element, defeating every
+vector mover — probes/PROBES.md); the reference's own FFX baseline makes
+the same radix choice for its portable path (FFXParallelSort.cpp:28-43).
+
+Per pass:
+  Upsweep   — ops.kernels.tile_histogram4: per-tile (16,) digit counts, one
+              read of the input (DeviceRadixSort.hlsl Upsweep :39-171).
+  Scan      — ops.kernels.exclusive_scan over the DIGIT-MAJOR (16*T,)
+              flattened table: one grid-serialized scan produces, in a
+              single number per (digit, tile), the global digit base PLUS
+              the inter-tile offset — exactly the reference's digit-major
+              passHist layout (DeviceRadixSort.hlsl:65, Scan :176-417).
+  Downsweep — table-driven scatter: every (tile, digit) reads its absolute
+              output cursor from the scanned table (SMEM) and places its
+              elements via the shared pack/rotate/banded-matmul machinery
+              (ops.radix16 helpers).  Boundary output rows are RMW-OR'd
+              (race-free under the sequential grid), interior rows are
+              plain row-DMAs.  The output starts zeroed (donated buffer) so
+              OR-merging at digit/tile boundaries is well defined.
+
+Unlike the fused engine (ops/radix16.py) no state is carried across tiles:
+given the table, tiles are independent — the portability/restartability
+property that defines the reference's reduce-then-scan family.  The
+downsweep grid is chunked (the cursor table rides SMEM), which doubles as
+the >65535-dispatch flattening analog (SortCommon.hlsl:120-130).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import kernels as _kernels
+from .radix16 import (
+    LANES,
+    NBUCKETS,
+    _BAND,
+    _BLK,
+    _XLA_ROWSORT,
+    _is_tpu,
+    _pack_rows,
+    _place_bucket,
+    _rowsort_packed,
+    _run_tables,
+    _within_row_sort_schedule,
+)
+
+# SMEM budget for the per-chunk cursor table: 16 * MAX_TILES i32.
+_MAX_TILES_PER_CALL = 1024
+
+
+def _downsweep_kernel(sched_ref, ctrl_ref, table_ref, *refs, tile_rows: int,
+                      num_ops: int, num_tiles: int, interpret: bool,
+                      first_chunk: bool):
+    """Scatter one chunk of tiles using absolute cursors from table_ref.
+
+    refs: num_ops inputs, num_ops prev/zeroed ANY refs (aliased to outputs
+    on TPU), num_ops outputs, then scratch: tops (16,) SMEM, num_ops accs,
+    staging (num_ops, 8, LANES), DMA semaphore.  ctrl_ref[0] = digit shift.
+    table_ref[d * num_tiles + t] = absolute element cursor of (tile t,
+    digit d) — digit-major, chunk-local tile index.
+    """
+    sp_ref = refs[0] if _XLA_ROWSORT else None
+    refs = refs[1:] if _XLA_ROWSORT else refs
+    in_refs = refs[:num_ops]
+    prev_refs = refs[num_ops:2 * num_ops]
+    out_refs = refs[2 * num_ops:3 * num_ops]
+    scratch = refs[3 * num_ops:]
+    tops = scratch[0]
+    accs = scratch[1:1 + num_ops]
+    stag = scratch[1 + num_ops]
+    sem = scratch[2 + num_ops]
+
+    t = pl.program_id(0)
+
+    if interpret:
+        # the interpreter does not alias buffers: copy the zeroed (or
+        # previous chunk's) buffer forward
+        @pl.when(t == 0)
+        def _():
+            for o in range(num_ops):
+                cp = pltpu.make_async_copy(prev_refs[o], out_refs[o], sem)
+                cp.start()
+                cp.wait()
+
+    xin = tuple(r[:] for r in in_refs)
+    xs, dsort = _pack_rows(sched_ref, xin, ctrl_ref[0], tile_rows,
+                           sp=sp_ref[:] if _XLA_ROWSORT else None)
+    rowstart, cnt, rowpref, tilecnt = _run_tables(dsort, tile_rows)
+
+    def rmw_or(o, out_row, acc_row, d):
+        """out[out_row] |= accs[o][d, acc_row] (single row, sequential)."""
+        cp1 = pltpu.make_async_copy(
+            out_refs[o].at[pl.ds(out_row, 1), :],
+            stag.at[o, pl.ds(0, 1), :], sem)
+        cp1.start()
+        cp1.wait()
+        stag[o, 0:1, :] = stag[o, 0:1, :] | accs[o][d, pl.ds(acc_row, 1), :]
+        cp2 = pltpu.make_async_copy(
+            stag.at[o, pl.ds(0, 1), :],
+            out_refs[o].at[pl.ds(out_row, 1), :], sem)
+        cp2.start()
+        cp2.wait()
+
+    for d in range(NBUCKETS):
+        cur = table_ref[d * num_tiles + t]
+        tops[d] = jnp.int32(0)
+        _place_bucket(d, cur, accs, tops, xs, rowstart, cnt, rowpref,
+                      num_ops, tile_rows)
+
+        tc = tilecnt[0, d]
+
+        @pl.when(tc > 0)
+        def _(d=d, cur=cur, tc=tc):
+            lo_row = cur >> 7
+            hi = cur + tc
+            first_full = (cur + (LANES - 1)) >> 7
+            n_full = (hi >> 7) - first_full
+
+            @pl.when((cur & (LANES - 1)) != 0)
+            def _():
+                for o in range(num_ops):
+                    rmw_or(o, lo_row, 0, d)
+
+            @pl.when(n_full > 0)
+            def _():
+                if interpret:
+                    def row_copy(i, _):
+                        for o in range(num_ops):
+                            cp = pltpu.make_async_copy(
+                                accs[o].at[d, pl.ds(first_full - lo_row + i,
+                                                    1), :],
+                                out_refs[o].at[pl.ds(first_full + i, 1), :],
+                                sem)
+                            cp.start()
+                            cp.wait()
+                        return 0
+
+                    jax.lax.fori_loop(0, n_full, row_copy, 0)
+                else:
+                    for o in range(num_ops):
+                        cp = pltpu.make_async_copy(
+                            accs[o].at[d, pl.ds(first_full - lo_row,
+                                                n_full), :],
+                            out_refs[o].at[pl.ds(first_full, n_full), :],
+                            sem)
+                        cp.start()
+                        cp.wait()
+
+            @pl.when(((hi & (LANES - 1)) != 0) & ((hi >> 7) >= first_full))
+            def _():
+                for o in range(num_ops):
+                    rmw_or(o, hi >> 7, (hi >> 7) - lo_row, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_downsweep(rows: int, tile_rows: int, num_ops: int,
+                     num_tiles: int, interpret: bool, first_chunk: bool):
+    kern = functools.partial(
+        _downsweep_kernel, tile_rows=tile_rows, num_ops=num_ops,
+        num_tiles=num_tiles, interpret=interpret, first_chunk=first_chunk)
+
+    def call(sched, ctrl, table, *arrs):
+        extra = []
+        if _XLA_ROWSORT:
+            extra = [_rowsort_packed(arrs[0], ctrl[0])]
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+             for _ in range(len(extra) + num_ops)]
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)
+                     for _ in range(num_ops)]
+        base = 3 + len(extra) + num_ops
+        aliases = ({} if interpret
+                   else {base + o: o for o in range(num_ops)})
+        arrs = tuple(extra) + tuple(arrs)
+        return pl.pallas_call(
+            kern,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                            for _ in range(num_ops)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((rows + 2, LANES), jnp.int32)
+                for _ in range(num_ops)),
+            scratch_shapes=[
+                pltpu.SMEM((NBUCKETS,), jnp.int32),
+            ] + [pltpu.VMEM((NBUCKETS, tile_rows + _BAND, LANES), jnp.int32)
+                 for _ in range(num_ops)]
+            + [pltpu.VMEM((num_ops, 8, LANES), jnp.int32),
+               pltpu.SemaphoreType.DMA(())],
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 << 20, has_side_effects=True),
+            interpret=interpret,
+        )(sched, ctrl, table, *arrs)
+
+    return jax.jit(call)
+
+
+def _sort_rts(operands, tile_rows: int, interpret: bool | None = None):
+    """Core 3-phase LSD sort; operands = (codes, *ride) u32 1-D."""
+    if interpret is None:
+        interpret = not _is_tpu()
+    if tile_rows < _BLK or tile_rows % _BLK:
+        raise ValueError(
+            f"tile_rows must be a positive multiple of {_BLK}, "
+            f"got {tile_rows}")
+    num_ops = len(operands)
+    n = operands[0].shape[0]
+    rows = max(tile_rows, -(-n // LANES))
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    xs = []
+    for i, x in enumerate(operands):
+        if pad:
+            fill = jnp.full((pad,), 0xFFFFFFFF if i == 0 else 0, jnp.uint32)
+            x = jnp.concatenate([x, fill])
+        xs.append(x.reshape(rows, LANES).view(jnp.int32))
+
+    sched = jnp.asarray(_within_row_sort_schedule())
+    total_tiles = rows // tile_rows
+
+    for p in range(8):
+        shift = jnp.full((1,), 4 * p, jnp.int32)
+        # Upsweep: per-tile digit counts for this pass
+        th = _kernels.tile_histogram4(xs[0], shift[0], tile_rows,
+                                      interpret=interpret)       # (T,16)
+        # Scan: digit-major flatten -> one scan = global base + tile offset
+        table = _kernels.exclusive_scan(
+            th.T.reshape(-1), interpret=interpret)               # (16*T,)
+        table2 = table.reshape(NBUCKETS, total_tiles)
+        # Downsweep, chunked so the cursor table rides SMEM
+        prev = [jnp.zeros((rows + 2, LANES), jnp.int32)
+                for _ in range(num_ops)]
+        a = 0
+        while a < total_tiles:
+            b = min(a + _MAX_TILES_PER_CALL, total_tiles)
+            call = _build_downsweep(rows, tile_rows, num_ops, b - a,
+                                    interpret, first_chunk=a == 0)
+            chunk_table = table2[:, a:b].reshape(-1)
+            seg_xs = [x[a * tile_rows:b * tile_rows] for x in xs]
+            prev = list(call(sched, shift, chunk_table, *seg_xs, *prev))
+            a = b
+        xs = [y[:rows] for y in prev]
+    return tuple(y.reshape(-1)[:n].view(jnp.uint32) for y in xs)
+
+
+def sort_codes_rts(codes: jnp.ndarray, tile_rows: int | None = None,
+                   interpret: bool | None = None) -> jnp.ndarray:
+    """Full 8-pass reduce-then-scan radix-16 sort of u32 codes."""
+    from .radix16 import _default_tile_rows
+
+    return _sort_rts((codes,), tile_rows or _default_tile_rows(),
+                     interpret)[0]
+
+
+def sort_pairs_rts(codes: jnp.ndarray, payload: jnp.ndarray,
+                   tile_rows: int | None = None,
+                   interpret: bool | None = None):
+    """Stable pair sort through the 3-phase pipeline.
+
+    Bit-exact with jax.lax.sort((codes, payload), is_stable=True): each pass
+    is stable (within-row lane order, rows in order, tiles in order).
+    """
+    from .radix16 import _default_tile_rows
+
+    return _sort_rts((codes, payload.view(jnp.uint32)),
+                     tile_rows or _default_tile_rows(), interpret)
