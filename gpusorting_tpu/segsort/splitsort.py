@@ -58,7 +58,8 @@ def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
     """
     try:
         offs = np.asarray(seg_offsets)
-    except jax.errors.ConcretizationTypeError:
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
         return None  # offsets not concrete under jit: composite path
     if offs.shape[0] != seg_count or seg_count == 0:
         return None
@@ -89,6 +90,88 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     v2 = payload_bits.reshape(seg_count, L)
     sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True, dimension=1)
     return sk.reshape(-1), sv.reshape(-1)
+
+
+# Random-length fast path: largest window the two-pass trick should use
+# before falling back to the composite sort.  The batched minor-axis sort
+# rate decays with L (probes/PROBES.md: 21 Gelem/s at L<=256 down to 4.2 G
+# at L=4096); beyond this cap two window passes cost more than one
+# composite sort.
+_WINDOW_CAP = 4096
+
+
+def _window_max_length(seg_offsets, total: int, seg_count: int):
+    """Max segment length if the windowed path applies, else None.
+
+    Host-side dispatch off the 14-bucket length histogram — the analog of
+    the reference's segInfo readback + per-bin launch decision
+    (SplitSort.cuh:654-668, SplitSortBinning.cuh:360-438).
+    """
+    try:
+        offs = np.asarray(seg_offsets)
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return None  # offsets traced: composite path
+    if seg_count == 0 or offs.shape[0] != seg_count:
+        return None
+    lens = segment_lengths(offs, total)
+    if lens.size == 0 or lens.min() < 0:
+        return None
+    hist = segment_length_histogram(lens)
+    if hist["gt_count"] > 0:
+        return None  # giant segments: whole-buffer composite (reference
+        #             SplitSortLarge in-place path)
+    ml = int(lens.max())
+    if ml > _WINDOW_CAP // 2:
+        return None
+    return ml
+
+
+def _window_pass(sid, codes, payloads, L: int, offset: int, n: int):
+    """One stable batched row sort of (seg_id, code[, payloads...]) over
+    L-wide windows starting at -offset (front-padded with sentinels)."""
+    pad_front = offset
+    pad_back = (-(n + offset)) % L
+
+    def padf(x, front_fill, back_fill):
+        return jnp.concatenate([
+            jnp.full((pad_front,), front_fill, x.dtype), x,
+            jnp.full((pad_back,), back_fill, x.dtype)])
+
+    # front pads must sort BEFORE all real elements (sid -1), back pads
+    # after (sid max), so real elements keep their window positions
+    sid_p = padf(sid, jnp.int32(-1), jnp.int32(0x7FFFFFFF))
+    codes_p = padf(codes, jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+    rows = sid_p.shape[0] // L
+    ops = (sid_p.reshape(rows, L), codes_p.reshape(rows, L)) + tuple(
+        padf(p, jnp.uint32(0), jnp.uint32(0)).reshape(rows, L)
+        for p in payloads)
+    res = jax.lax.sort(ops, num_keys=2, is_stable=True, dimension=1)
+    out = [r.reshape(-1)[pad_front:pad_front + n] for r in res]
+    return out[0], out[1], tuple(out[2:])
+
+
+def _windowed_segmented_sort(seg_offsets, codes, payloads, seg_count: int,
+                             max_len: int):
+    """Random-length segments via two overlapping window sorts.
+
+    TPU-native replacement for the reference's 14 per-length-bin kernels
+    (SplitSort.cuh:751-930): instead of gathering each length class, sort
+    (seg_id, key) stably within L-wide windows twice, at offsets 0 and L/2,
+    where L = 2*ceil_pow2(max_len).  Every segment of length <= L/2 lies
+    wholly inside a window of one of the two grids, so it gets exactly
+    sorted there; the other pass leaves already-sorted segments unchanged
+    (stable sort of a sorted row is the identity).  No data movement, no
+    per-class shapes — the whole dispatch is the window length, chosen from
+    the host-side segment-length histogram exactly like the reference's
+    segInfo readback (SplitSort.cuh:654-668).
+    """
+    n = codes.shape[0]
+    L = max(128, 1 << (max(1, max_len - 1)).bit_length() + 1)
+    sid = xla_sort.segment_ids_from_offsets(seg_offsets, n).astype(jnp.int32)
+    sid1, c1, p1 = _window_pass(sid, codes, payloads, L, 0, n)
+    _, c2, p2 = _window_pass(sid1, c1, p1, L, L // 2, n)
+    return c2, p2
 
 
 def _composite_segmented_sort(
@@ -154,9 +237,16 @@ def split_sort_pairs(
     if L is not None and L > 1:
         sc, sb = _batched_segmented_sort(codes, bits, total_seg_count, L)
     else:
-        sc, sb = _composite_segmented_sort(
-            seg_offsets, codes, bits, total_seg_count, bits_to_sort
-        )
+        ml = _window_max_length(seg_offsets, total, total_seg_count)
+        if ml is not None:
+            payloads = () if bits is None else (bits,)
+            sc, ps = _windowed_segmented_sort(
+                seg_offsets, codes, payloads, total_seg_count, ml)
+            sb = ps[0] if bits is not None else None
+        else:
+            sc, sb = _composite_segmented_sort(
+                seg_offsets, codes, bits, total_seg_count, bits_to_sort
+            )
 
     out_k = codec.decode_keys(sc, kt)
     if values is None:
@@ -189,12 +279,17 @@ def split_sort_pairs_wide(
     n = codes.shape[0]
 
     L = _fixed_length_of(seg_offsets, total, total_seg_count)
+    ml = (None if L is not None
+          else _window_max_length(seg_offsets, total, total_seg_count))
     if L is not None and L > 1:
         S = total_seg_count
         sc, slo, shi = jax.lax.sort(
             (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L)),
             num_keys=1, is_stable=True, dimension=1)
         sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
+    elif ml is not None:
+        sc, (slo, shi) = _windowed_segmented_sort(
+            seg_offsets, codes, (lo32, hi32), total_seg_count, ml)
     else:
         seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
         seg_bits = _ceil_log2(total_seg_count) + 1

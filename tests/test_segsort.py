@@ -91,6 +91,38 @@ def test_f64_payload_wide_planes():
     np.testing.assert_array_equal(np.asarray(out_hi), hh)
 
 
+def test_windowed_path_matches_composite():
+    """The two-window fast path must be bit-identical to the composite
+    whole-buffer sort (cross-implementation oracle, SplitSortTests.cuh
+    :527-566), including stability on duplicate-heavy keys."""
+    from gpusorting_tpu.core import codec
+
+    total = 1 << 13
+    offs, cnt = prng.make_random_segments(total, 200, seed=5)
+    keys = (prng.hybrid_taus_bits(total, seed=6) & jnp.uint32(0xF)).view(
+        jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    codes = codec.encode_keys(keys)
+    ml = splitsort._window_max_length(offs, total, cnt)
+    assert ml is not None and ml <= 200
+    wc, (wv,) = splitsort._windowed_segmented_sort(
+        offs, codes, (vals,), cnt, ml)
+    cc, cv = splitsort._composite_segmented_sort(offs, codes, vals, cnt, 32)
+    np.testing.assert_array_equal(np.asarray(wc), np.asarray(cc))
+    np.testing.assert_array_equal(np.asarray(wv), np.asarray(cv))
+
+
+def test_windowed_dispatch_thresholds():
+    """Dispatch: windowed for small max_len, composite beyond the cap or
+    for giant segments."""
+    total = 1 << 12
+    offs, cnt = prng.make_random_segments(total, 64, seed=9)
+    assert splitsort._window_max_length(offs, total, cnt) is not None
+    # giant segment -> composite
+    assert splitsort._window_max_length(
+        jnp.array([0], jnp.uint32), 1 << 18, 1) is None
+
+
 def test_make_test_pairs_64bit_guard():
     with pytest.raises(ValueError):
         prng.make_test_pairs(64, 1, jnp.uint32, jnp.float64)
