@@ -5,20 +5,26 @@ This layer has NO reference counterpart — GPUSorting is strictly single-GPU
 north-star design:
 
   1. every device draws a strided sample of its local key codes; samples are
-     all-gathered and sorted; D-1 quantile splitters define code ranges
-  2. each element's destination device = searchsorted(splitters, code);
-     equal codes always map to one device, so stability reduces to carrying
-     the global index as a tiebreaker
-  3. a padded bucket matrix rides `lax.all_to_all` over the mesh axis (ICI);
-     oversampling plus a slack factor bounds bucket overflow, and an
-     on-device overflow counter reports capacity violations
-  4. each device stably sorts its received range locally (per-chip radix /
-     XLA path) by (code, global index)
+     all-gathered and sorted; D-1 quantile splitters — tie-broken by global
+     index — define lexicographic (code, gidx) ranges, one per device
+  2. each device STABLY SORTS ITS SHARD LOCALLY first; destination ranges
+     are then CONTIGUOUS RUNS of the sorted shard, so building the send
+     matrix is D dynamic slices — no gather, no scatter, no argsort (XLA's
+     scatter paths run at ~0.1 Gelem/s on TPU, probes/PROBES.md; the
+     round-1 argsort+scatter packer was correctness-only)
+  3. the (D, cap) send matrix rides `lax.all_to_all` over the mesh axis
+     (ICI).  With `cap_rows=None` (default) the capacity is computed EXACTLY
+     first (a tiny per-cell count matrix + host max), so overflow is
+     structurally impossible; a fixed integer cap skips that sync and
+     reports overflow, and `distributed_sort_gather` retries with a doubled
+     cap rather than ever returning dropped elements
+  4. each device merges its received runs with one local sort by
+     (code, global index) — stability reduces to the gidx tiebreak
 
-Output convention: each device holds a sorted, left-packed (cap,)-padded
-range plus a valid count; concatenating valid prefixes in device order yields
-the globally sorted array.  `distributed_sort_gather` materializes that
-(for tests / small n).
+Output convention: each device holds a sorted, left-packed (D*cap,)-padded
+range plus a valid count; concatenating valid prefixes in device order
+yields the globally sorted array.  `distributed_sort_gather` materializes
+that (for tests / small n).
 
 Works on any mesh, including the CPU `--xla_force_host_platform_device_count`
 mesh used by the test suite and the driver's multi-chip dry-run.
@@ -26,15 +32,12 @@ mesh used by the test suite and the driver's multi-chip dry-run.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import codec
-from ..ops import xla_sort
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
@@ -53,10 +56,9 @@ def _splitters_from_sample(sample_codes: jnp.ndarray,
 
     The index tiebreak makes the splitter key a TOTAL order, so duplicate-
     heavy keys (zipf, low-entropy presets) still split evenly across devices
-    instead of landing on one — the load-balance property that lets the
-    per-(src,dst) bucket capacity be ~n_local/D instead of ~n_local.
-    Stability survives: device ranges are lexicographic (code, gidx) ranges,
-    so concatenating per-device stable sorts yields the global stable order.
+    instead of landing on one.  Stability survives: device ranges are
+    lexicographic (code, gidx) ranges, so concatenating per-device stable
+    sorts yields the global stable order.
     """
     sc, sg = jax.lax.sort((sample_codes, sample_gidx), num_keys=2,
                           is_stable=False)
@@ -65,87 +67,61 @@ def _splitters_from_sample(sample_codes: jnp.ndarray,
     return sc[idx], sg[idx]
 
 
-def _bucket_of(codes: jnp.ndarray, gidx: jnp.ndarray,
-               spl_c: jnp.ndarray, spl_g: jnp.ndarray) -> jnp.ndarray:
-    """Destination device id in [0, D): count of splitters <= (code, gidx).
+def _cell_counts(codes, gidx, spl_c, spl_g, n_dev: int) -> jnp.ndarray:
+    """(D,) counts of local elements destined to each device.
 
-    Broadcast-compare sum instead of searchsorted: D-1 vectorized compares
-    beat TPU's per-element binary search (PROBES.md) for small D.
+    Destination = number of splitters <= (code, gidx); counts come from
+    D-1 vectorized compare-reductions (no searchsorted: TPU binary-searches
+    per element, PROBES.md).
     """
-    ge = (codes[None, :] > spl_c[:, None]) | (
-        (codes[None, :] == spl_c[:, None]) & (gidx[None, :] >= spl_g[:, None]))
-    return jnp.sum(ge, axis=0, dtype=jnp.int32)
+    at_or_above = (codes[None, :] > spl_c[:, None]) | (
+        (codes[None, :] == spl_c[:, None]) &
+        (gidx[None, :] >= spl_g[:, None]))
+    above = jnp.sum(at_or_above, axis=1, dtype=jnp.int32)     # (D-1,)
+    n = jnp.int32(codes.shape[0])
+    # boundary[d] = first element index of destination d = n - above[d-1]
+    bounds = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32), n - above,
+        jnp.full((1,), n, jnp.int32)])
+    return bounds[1:] - bounds[:-1]
 
 
-def _pack_buckets(codes, aux, bucket, n_dev: int, cap: int):
-    """Scatter local elements into a (n_dev, cap) padded send matrix.
-
-    Returns (send_codes, send_aux..., overflow_count).  Elements are packed
-    in local order within each bucket (stability preserved via the carried
-    global index anyway).
-    """
-    n = codes.shape[0]
-    # rank of each element within its bucket, in local order:
-    # stable sort by bucket, then position-in-run
-    order = jnp.argsort(bucket, stable=True)
-    sorted_bucket = bucket[order]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # first index of each bucket run via a running max over change points
-    # (replaces searchsorted: TPU binary-searches per element)
-    change = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sorted_bucket[1:] != sorted_bucket[:-1]])
-    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(change, pos, 0))
-    rank_sorted = pos - run_start
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-
-    overflow = jnp.sum(rank >= cap, dtype=jnp.uint32)
-    slot = jnp.clip(rank, 0, cap - 1)
-    flat = bucket * cap + slot
-
-    def scatter(x, fill):
-        buf = jnp.full((n_dev * cap,), fill, x.dtype)
-        # drop overflowed elements rather than corrupting slot cap-1
-        keep = rank < cap
-        return buf.at[jnp.where(keep, flat, n_dev * cap)].set(
-            x, mode="drop"
-        ).reshape(n_dev, cap)
-
-    send_codes = scatter(codes, _SENTINEL)
-    # pad gidx with the max index so pad rows sort AFTER real elements even
-    # when a real key's code is 0xFFFFFFFF (legal u32 max)
-    send_aux = (scatter(aux[0], _SENTINEL),) + tuple(
-        scatter(a, jnp.zeros((), a.dtype)) for a in aux[1:])
-    # exact per-destination send counts (replaces sentinel-based counting,
-    # which miscounts real 0xFFFFFFFF keys as padding)
-    dst = jax.lax.broadcasted_iota(jnp.int32, (n_dev, bucket.shape[0]), 0)
-    send_counts = jnp.sum(bucket[None, :] == dst, axis=1, dtype=jnp.uint32)
-    return send_codes, send_aux, send_counts, overflow
-
-
-def _local_shard_sort(codes, gidx, payload, spl_c, spl_g, n_dev, cap, axis):
-    """Body run per device under shard_map."""
-    me = jax.lax.axis_index(axis)
-    n_local = codes.shape[0]
-
-    bucket = _bucket_of(codes, gidx, spl_c, spl_g)
-    aux = (gidx,) if payload is None else (gidx, payload)
-    send_c, send_aux, send_counts, overflow = _pack_buckets(
-        codes, aux, bucket, n_dev, cap)
-
-    recv_c = jax.lax.all_to_all(send_c, axis, 0, 0, tiled=True)
-    recv_aux = tuple(
-        jax.lax.all_to_all(a, axis, 0, 0, tiled=True) for a in send_aux
-    )
-    # column `me` of the (src, dst) count matrix, summed across sources
-    recv_counts = jax.lax.all_to_all(send_counts, axis, 0, 0, tiled=True)
-
-    rc = recv_c.reshape(-1)
-    rg = recv_aux[0].reshape(-1)
-    # stable order: (code, original global index); pads carry max gidx so
-    # they sort last even among real max-code keys
-    ops_in = (rc, rg) + tuple(a.reshape(-1) for a in recv_aux[1:])
+def _local_phase1(codes, gidx, payload, spl_c, spl_g, n_dev):
+    """Sort the shard by (code, gidx); return sorted ops + cell counts."""
+    ops_in = (codes, gidx) + (() if payload is None else (payload,))
     out = jax.lax.sort(ops_in, num_keys=2, is_stable=False)
-    count = jnp.sum(recv_counts, dtype=jnp.uint32)
+    counts = _cell_counts(out[0], out[1], spl_c, spl_g, n_dev)
+    return out, counts
+
+
+def _pack_and_exchange(sorted_ops, counts, n_dev: int, cap: int, axis):
+    """Slice contiguous destination runs into (D, cap), exchange, merge."""
+    bounds = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n_dev, cap), 1)
+    overflow = jnp.sum(
+        jnp.maximum(counts - cap, 0).astype(jnp.uint32))
+
+    def pack(x, fill):
+        xp = jnp.concatenate([x, jnp.full((cap,), fill, x.dtype)])
+        rows = [jax.lax.dynamic_slice_in_dim(xp, bounds[d], cap)
+                for d in range(n_dev)]
+        mat = jnp.stack(rows)
+        return jnp.where(pos < counts[:, None], mat, fill)
+
+    send = [pack(sorted_ops[0], _SENTINEL),
+            pack(sorted_ops[1], _SENTINEL)]
+    send += [pack(x, jnp.zeros((), x.dtype)) for x in sorted_ops[2:]]
+
+    recv = [jax.lax.all_to_all(s, axis, 0, 0, tiled=True) for s in send]
+    recv_counts = jax.lax.all_to_all(
+        counts.astype(jnp.uint32), axis, 0, 0, tiled=True)
+
+    flat = [r.reshape(-1) for r in recv]
+    out = jax.lax.sort(tuple(flat), num_keys=2, is_stable=False)
+    # overflowed cells were truncated at cap on the send side
+    count = jnp.sum(jnp.minimum(recv_counts, jnp.uint32(cap)),
+                    dtype=jnp.uint32)
     total_overflow = jax.lax.psum(overflow, axis)
     return out, count, total_overflow
 
@@ -156,28 +132,23 @@ def distributed_sort(
     mesh: Mesh | None = None,
     axis: str = "x",
     oversample: int = 32,
-    slack: float = 2.0,
+    cap_rows: int | None = None,
 ):
     """Sort a globally sharded key (and optional payload) array.
 
-    `keys` is 1-D with length divisible by the mesh size.  Returns
-    (sorted_codes_padded [D*cap], global_index [D*cap], payload or None,
-    counts [D], overflow_total) with device-sharded leading axes; see module
-    docstring for the output convention.
+    `keys` is 1-D with length divisible by the mesh size.  With
+    `cap_rows=None` the per-(src,dst) cell capacity is measured exactly
+    before the exchange (one tiny collective + host scalar), so no element
+    can ever be dropped; an integer `cap_rows` skips that round trip and
+    reports `overflow` instead (see distributed_sort_gather for the retry
+    discipline).  Returns a dict; see module docstring for the output
+    convention.
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n = keys.shape[0]
     if n % n_dev:
         raise ValueError(f"n={n} must be divisible by mesh size {n_dev}")
-    n_local = n // n_dev
-    # Per-(src,dst) bucket capacity.  Tie-broken splitters balance loads to
-    # ~n_local/D per DESTINATION, but a single (src,dst) cell can still hold
-    # all n_local elements of a source (pre-sorted or all-equal input maps a
-    # device's whole contiguous gidx range to one destination), so the cell
-    # cap must be n_local to guarantee zero drops.  `slack` only pads the
-    # receive-side sort width.
-    cap = max(128, -(-n_local // 128) * 128)
 
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
@@ -191,34 +162,48 @@ def distributed_sort(
 
     spec = P(axis)
     rep = P()
+    has_payload = values is not None
 
-    def body(codes_l, gidx_l, *rest):
-        payload_l = rest[0] if values is not None else None
+    def phase1(codes_l, gidx_l, *rest):
+        payload_l = rest[0] if has_payload else None
         spl_c_l, spl_g_l = rest[-2], rest[-1]
-        out, count, overflow = _local_shard_sort(
-            codes_l, gidx_l, payload_l, spl_c_l, spl_g_l, n_dev, cap, axis
-        )
-        return out + (count[None], overflow[None])
+        sorted_ops, counts = _local_phase1(
+            codes_l, gidx_l, payload_l, spl_c_l, spl_g_l, n_dev)
+        return sorted_ops + (counts,)
 
-    in_specs = [spec, spec] + ([spec] if values is not None else []) + [rep, rep]
-    n_out = 3 if values is None else 4
-    out_specs = tuple([spec] * (n_out - 1)) + (spec, spec)
-
-    args = [codes, gidx] + ([pbits] if values is not None else []) + [spl_c, spl_g]
-    results = jax.shard_map(
-        body, mesh=mesh, in_specs=tuple(in_specs), out_specs=out_specs
+    n_sorted = 3 if has_payload else 2
+    in_specs = [spec, spec] + ([spec] if has_payload else []) + [rep, rep]
+    args = [codes, gidx] + ([pbits] if has_payload else []) + [spl_c, spl_g]
+    p1 = jax.shard_map(
+        phase1, mesh=mesh, in_specs=tuple(in_specs),
+        out_specs=tuple([spec] * n_sorted) + (spec,),
     )(*args)
+    sorted_ops, counts = p1[:n_sorted], p1[n_sorted]
 
-    sorted_codes = results[0]
-    sorted_gidx = results[1]
-    sorted_payload = results[2] if values is not None else None
-    counts = results[-2]
-    overflow = results[-1]
+    if cap_rows is None:
+        # exact capacity: overflow structurally impossible
+        cell_max = int(np.asarray(jnp.max(counts)))
+        cap = max(128, -(-cell_max // 128) * 128)
+    else:
+        cap = max(128, int(cap_rows))
+
+    def phase2(counts_l, *ops_l):
+        out, count, ovf = _pack_and_exchange(
+            ops_l, counts_l.reshape(-1), n_dev, cap, axis)
+        return out, count[None], ovf[None]
+
+    results = jax.shard_map(
+        phase2, mesh=mesh,
+        in_specs=tuple([spec] * (1 + n_sorted)),
+        out_specs=(tuple([spec] * n_sorted), spec, spec),
+    )(counts, *sorted_ops)
+
+    out, count, overflow = results
     return {
-        "codes": sorted_codes,
-        "global_index": sorted_gidx,
-        "payload_bits": sorted_payload,
-        "counts": counts,
+        "codes": out[0],
+        "global_index": out[1],
+        "payload_bits": out[2] if has_payload else None,
+        "counts": count,
         "overflow": overflow,
         "cap": cap,
         "key_type": kt,
@@ -227,8 +212,19 @@ def distributed_sort(
 
 
 def distributed_sort_gather(keys, values=None, mesh=None, **kw):
-    """Run distributed_sort and materialize the dense global result (tests)."""
-    res = distributed_sort(keys, values, mesh=mesh, **kw)
+    """Run distributed_sort and materialize the dense global result.
+
+    Never returns dropped data: if a fixed `cap_rows` overflows, the cap is
+    doubled and the sort re-run (ending at the exact-cap mode).
+    """
+    attempts = 0
+    while True:
+        res = distributed_sort(keys, values, mesh=mesh, **kw)
+        if int(np.asarray(res["overflow"])[0]) == 0:
+            break
+        attempts += 1
+        cap = kw.get("cap_rows")
+        kw["cap_rows"] = None if cap is None or attempts > 4 else 2 * cap
     codes = np.asarray(res["codes"])
     counts = np.asarray(res["counts"])
     cap = res["cap"]
@@ -236,16 +232,19 @@ def distributed_sort_gather(keys, values=None, mesh=None, **kw):
     chunk = n_dev * cap  # each device holds a sorted (n_dev*cap,) range
     parts_k, parts_v = [], []
     payload = (
-        np.asarray(res["payload_bits"]) if res["payload_bits"] is not None else None
+        np.asarray(res["payload_bits"])
+        if res["payload_bits"] is not None else None
     )
     for d in range(n_dev):
         c = int(counts[d])
-        parts_k.append(codes[d * chunk : d * chunk + c])
+        parts_k.append(codes[d * chunk: d * chunk + c])
         if payload is not None:
-            parts_v.append(payload[d * chunk : d * chunk + c])
+            parts_v.append(payload[d * chunk: d * chunk + c])
     out_codes = jnp.asarray(np.concatenate(parts_k))
     out_k = codec.decode_keys(out_codes, res["key_type"])
+    overflow = int(np.asarray(res["overflow"])[0])
     if values is None:
-        return out_k, int(np.asarray(res["overflow"])[0])
-    out_v = codec.bits_to_payload(jnp.asarray(np.concatenate(parts_v)), values.dtype)
-    return (out_k, out_v), int(np.asarray(res["overflow"])[0])
+        return out_k, overflow
+    out_v = codec.bits_to_payload(
+        jnp.asarray(np.concatenate(parts_v)), values.dtype)
+    return (out_k, out_v), overflow

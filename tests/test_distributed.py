@@ -44,7 +44,7 @@ def test_distributed_skewed_zipf(cpu_mesh):
         np.minimum(rng.zipf(1.3, n), 0xFFFFFFF).astype(np.uint32)
     )
     out, overflow = dist_sort.distributed_sort_gather(
-        keys, mesh=cpu_mesh, slack=4.0, oversample=64
+        keys, mesh=cpu_mesh
     )
     assert overflow == 0
     np.testing.assert_array_equal(
@@ -59,7 +59,7 @@ def test_distributed_low_entropy(cpu_mesh):
         n, seed=6, entropy=prng.EntropyPreset.E020
     )
     out, overflow = dist_sort.distributed_sort_gather(
-        keys, mesh=cpu_mesh, slack=8.0, oversample=64
+        keys, mesh=cpu_mesh, oversample=64
     )
     assert overflow == 0
     np.testing.assert_array_equal(
@@ -102,10 +102,33 @@ def test_distributed_max_code_keys(cpu_mesh):
     )
 
 
+def test_distributed_overflow_injection_and_recovery(cpu_mesh):
+    """A too-small fixed cap must FLAG dropped elements (never silently
+    wrong), and the gather wrapper must recover by retrying with a bigger
+    cap until nothing is dropped (VERDICT round-1: overflow recovery)."""
+    n = 1 << 12
+    keys = jnp.arange(n, dtype=jnp.uint32)  # pre-sorted: worst-case cells
+    res = dist_sort.distributed_sort(keys, mesh=cpu_mesh, cap_rows=128)
+    assert int(np.asarray(res["overflow"])[0]) > 0  # injection detected
+    out, overflow = dist_sort.distributed_sort_gather(
+        keys, mesh=cpu_mesh, cap_rows=128)  # retry path
+    assert overflow == 0
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(keys))
+
+
+def test_distributed_exact_cap_never_overflows(cpu_mesh):
+    """Default mode measures the exact cell capacity first."""
+    n = 1 << 12
+    for seed in (1, 2):
+        keys = prng.make_test_keys(n, seed=seed)
+        res = dist_sort.distributed_sort(keys, mesh=cpu_mesh)
+        assert int(np.asarray(res["overflow"])[0]) == 0
+
+
 def test_distributed_f32(cpu_mesh):
     n = 1 << 12
     keys = prng.make_test_keys(n, seed=8, key_dtype=jnp.float32)
-    out, overflow = dist_sort.distributed_sort_gather(keys, mesh=cpu_mesh, slack=4.0)
+    out, overflow = dist_sort.distributed_sort_gather(keys, mesh=cpu_mesh)
     assert overflow == 0
     codes = np.asarray(codec.encode_keys(keys))
     ref_codes = np.sort(codes, kind="stable")
