@@ -1,0 +1,158 @@
+"""Splitsweep — splitter-partition + sub-sort hybrid (flagship candidate).
+
+Why this shape: on this part every sort is VPU-bound and XLA's flat sort
+decays log-quadratically with n (2.65 Gkeys/s at 2^18 down to 0.575 at
+2^28 — benches/RESULTS.md), while the native binning pass moves all data at
+a roughly size-independent per-element cost.  So the fastest full sort
+splits the array ONCE (or twice) into balanced buckets with the native
+pass, then runs the sub-sorts at the size where the underlying sort
+primitive is at its sweet spot — a sample-sort whose "local sort" is XLA's
+own network, exactly how the reference leans on CUB block primitives inside
+its own kernels.
+
+Mechanism (keys-only):
+  1. splitters: a strided sample of (code, position) pairs, sorted; 15
+     quantiles.  The POSITION tiebreak makes splitters a total order, so
+     duplicate-heavy inputs (Thearling-Smith presets, all-equal keys) still
+     split into balanced buckets — and concatenating bucket ranges in
+     order remains correct because equal codes split by position.
+  2. bucketize: 15 fused compare-accumulates (no searchsorted — PROBES.md).
+  3. partition: the radix16 binning kernel with EXTERNAL packed rows
+     (bucket<<7 | lane, row-sorted by XLA) and row-aligned bucket regions
+     (base_d = d * cap); the final partial-row flush plain-writes since
+     each output row belongs to exactly one bucket.
+  4. gap masking: positions >= count_d become 0xFFFFFFFF sentinels.
+  5. sub-sorts: lax.map of XLA flat sorts over the (16, cap) regions.
+     One level leaves ~2^24 buckets (XLA at 0.94 G); two levels reach
+     ~2^20 (XLA at 2.2 G) by recursing the same machinery inside each
+     bucket.
+  6. assembly: ops.stitch.compact drops the per-bucket sentinel tails.
+
+Bucket capacity is STATIC (slack over n/16).  The position tiebreak bounds
+bucket skew by sampling error only; `oversample` controls that tail.  When
+called eagerly the engine verifies counts fit and raises on overflow
+(callers fall back to the XLA path); under a jit trace the check is skipped
+and the documented slack applies.
+
+Reference analog: none structurally (OneSweep.cu is a pure LSD engine);
+this plays the flagship role OneSweep plays — the engine AUTO should pick
+when it wins the headline benchmark.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import stitch
+from .radix16 import (
+    LANES,
+    NBUCKETS,
+    _build_pass,
+    _is_tpu,
+    _within_row_sort_schedule,
+)
+
+_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def _sample_splitters(codes, pos, oversample: int):
+    n = codes.shape[0]
+    stride = max(1, n // (NBUCKETS * oversample))
+    sc, sp_ = jax.lax.sort((codes[::stride], pos[::stride]), num_keys=2,
+                           is_stable=False)
+    m = sc.shape[0]
+    idx = (jnp.arange(1, NBUCKETS, dtype=jnp.int32) * m) // NBUCKETS
+    return sc[idx], sp_[idx]
+
+
+def _bucketize(codes, pos, spl_c, spl_p):
+    """Bucket id in [0,16) = #splitters <= (code, pos); sequential fused
+    compare-accumulates avoid a (15, n) broadcast intermediate."""
+    b = jnp.zeros(codes.shape, jnp.int32)
+    for i in range(NBUCKETS - 1):
+        gt = (codes > spl_c[i]) | ((codes == spl_c[i]) & (pos >= spl_p[i]))
+        b = b + gt.astype(jnp.int32)
+    return b
+
+
+def _partition_16(codes2d, bucket2d, cap_rows: int, tile_rows: int,
+                  interpret: bool):
+    """Scatter rows into 16 row-aligned regions of cap_rows each."""
+    rows = codes2d.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+    packed = (bucket2d << 7) | lane
+    sp = jax.lax.sort((packed,), num_keys=1, is_stable=False, dimension=1)[0]
+    bases = jnp.arange(NBUCKETS, dtype=jnp.int32) * (cap_rows * LANES)
+    ctrl = jnp.concatenate([bases, jnp.zeros((1,), jnp.int32)])
+    sched = jnp.asarray(_within_row_sort_schedule())
+    call = _build_pass(rows, tile_rows, 1, interpret,
+                       external_sp=True, flush_write=True,
+                       out_rows=NBUCKETS * cap_rows)
+    res = call(sched, ctrl, sp, codes2d)
+    return res[0][:NBUCKETS * cap_rows]
+
+
+def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
+                          oversample: int = 64, slack: float = 1.35,
+                          sub_sort=None,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """Flagship keys-only sort of u32 codes via 16-way splitter partition.
+
+    `sub_sort(flat_u32) -> sorted flat_u32` sorts each bucket (default:
+    XLA unstable flat sort); pass `sort_codes_splitsweep` itself (wrapped)
+    for a second partition level.
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    if tile_rows is None:
+        from .radix16 import _default_tile_rows
+
+        tile_rows = _default_tile_rows()
+    n = codes.shape[0]
+    rows = max(tile_rows, -(-n // LANES))
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    x = codes
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), _SENTINEL, jnp.uint32)])
+    np_total = rows * LANES
+
+    pos = jnp.arange(np_total, dtype=jnp.uint32)
+    spl_c, spl_p = _sample_splitters(x, pos, oversample)
+    bucket = _bucketize(x, pos, spl_c, spl_p)
+    # 16 fused masked reductions (a one_hot matrix would materialize 16n)
+    counts = jnp.stack(
+        [jnp.sum(bucket == d, dtype=jnp.int32) for d in range(NBUCKETS)])
+
+    cap_rows = -(-int(np.ceil(rows * slack / NBUCKETS)) // 8) * 8
+    cap = cap_rows * LANES
+
+    try:
+        if int(np.asarray(jnp.max(counts))) > cap:
+            raise ValueError(
+                "splitsweep bucket overflow (pathological sample); "
+                "increase slack/oversample or use the XLA backend")
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass  # traced: the documented slack applies
+
+    out = _partition_16(
+        x.reshape(rows, LANES).view(jnp.int32), bucket.reshape(rows, LANES),
+        cap_rows, tile_rows, interpret)
+
+    regions = out.reshape(NBUCKETS, cap).view(jnp.uint32)
+    in_idx = jax.lax.broadcasted_iota(jnp.int32, (NBUCKETS, cap), 1)
+    valid = in_idx < counts[:, None]
+    regions = jnp.where(valid, regions, _SENTINEL)
+
+    if sub_sort is None:
+        def sub_sort(r):
+            return jax.lax.sort((r,), num_keys=1, is_stable=False)[0]
+
+    sorted_regions = jax.lax.map(sub_sort, regions)
+
+    packed, _cnt = stitch.compact(
+        sorted_regions.reshape(-1), valid.reshape(-1), interpret=interpret)
+    return packed[:n]

@@ -1,0 +1,59 @@
+"""Splitsweep (splitter-partition + sub-sort hybrid) tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpusorting_tpu.core import prng
+from gpusorting_tpu.ops import splitsweep
+
+
+def _check(x, **kw):
+    out = np.asarray(splitsweep.sort_codes_splitsweep(
+        x, tile_rows=128, **kw))
+    np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
+
+
+def test_uniform():
+    _check(prng.hybrid_taus_bits(40_000, seed=1))
+
+
+def test_low_entropy_skew():
+    _check(prng.make_test_keys(30_000, 7, entropy=prng.EntropyPreset.E020))
+
+
+def test_all_equal():
+    x = jnp.full((20_000,), 0xDEADBEEF, jnp.uint32)
+    _check(x)
+
+
+def test_presorted_and_reverse():
+    x = jnp.arange(30_000, dtype=jnp.uint32)
+    _check(x)
+    _check(jnp.flip(x))
+
+
+def test_max_code_keys():
+    base = prng.hybrid_taus_bits(20_000, seed=3)
+    x = jnp.where(jnp.arange(20_000) % 3 == 0, jnp.uint32(0xFFFFFFFF), base)
+    _check(x)
+
+
+def test_boundary_sizes():
+    for n in (1, 127, 16384, 16385):
+        _check(prng.hybrid_taus_bits(n, seed=n))
+
+
+def test_two_level():
+    """Recursive sub_sort = a second partition level."""
+    x = prng.hybrid_taus_bits(60_000, seed=9)
+
+    def second_level(r):
+        return splitsweep.sort_codes_splitsweep(r, tile_rows=128)
+
+    # lax.map traces sub_sort; the recursive call must therefore stay
+    # traceable (no host checks fire under trace)
+    out = np.asarray(splitsweep.sort_codes_splitsweep(
+        x, tile_rows=128, sub_sort=second_level))
+    np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
