@@ -84,7 +84,7 @@ def main():
             batch=batch_for(n), seed=10)
         emit(f"pairs_2^{logn}", res["keys_per_sec"], n, {"engine": "xla"})
 
-    # --- native engine vs oracle (TPU only: interpret mode is emulation) ---
+    # --- native engines vs oracle (TPU only: interpret mode is emulation) ---
     for logn in ([20, 22, 24] if on_tpu else []):
         n = 1 << logn
         from gpusorting_tpu.ops import bitonic
@@ -93,6 +93,34 @@ def main():
             seed=10)
         emit(f"native_network_keys_2^{logn}", res["keys_per_sec"], n,
              {"engine": "pallas_network"})
+
+    # fused radix-16 (OneSweep analog) + entropy point (pass/bucket skipping
+    # should make E020 faster), 3-phase reduce-then-scan, and the FFX slot
+    if on_tpu:
+        from gpusorting_tpu.ops import radix16, rts as rts_mod
+        for logn in (22, 24):
+            n = 1 << logn
+            res = timing.batch_timing(
+                lambda c: radix16.sort_codes_radix16(c), n, batch=3, seed=10,
+                repeats=3)
+            emit(f"native_radix16_keys_2^{logn}", res["keys_per_sec"], n,
+                 {"engine": "pallas_radix16"})
+        n = 1 << 24
+        res = timing.batch_timing(
+            lambda c: radix16.sort_codes_radix16(c), n, batch=3, seed=10,
+            entropy=EntropyPreset.E020, repeats=3)
+        emit("native_radix16_keys_2^24_E020", res["keys_per_sec"], n,
+             {"engine": "pallas_radix16", "preset": 5})
+        res = timing.batch_timing(
+            lambda c: rts_mod.sort_codes_rts(c), n, batch=3, seed=10,
+            repeats=3)
+        emit("native_rts_keys_2^24", res["keys_per_sec"], n,
+             {"engine": "pallas_rts_3phase"})
+        res = timing.batch_timing(
+            lambda c: radix16.sort_codes_radix16(c, tile_rows=256), n,
+            batch=3, seed=10, repeats=3)
+        emit("ffx_baseline_keys_2^24", res["keys_per_sec"], n,
+             {"engine": "pallas_radix16_fixed_tuning"})
 
     # --- segmented sort sweep (fixed-length bins; Kobus-style) ---
     total = 1 << 22 if on_tpu else 1 << 14
@@ -121,18 +149,24 @@ def main():
         emit(f"segsort_fixed_L{L}_pairs_f64", res["keys_per_sec"], total,
              {"engine": "batched", "payload": "u32+u32 planes"})
 
-    # random-length composite path across max segment lengths (Kobus-style
-    # maxlen sweep; >65536 exercises the whole-buffer composite semantics)
-    for max_len in ([16, 1024, 65536, 262144] if on_tpu else [64]):
+    # random-length sweep (Kobus-style maxlen sweep).  maxlen <= 2048 routes
+    # through the two-window batched path (the reference's headline win
+    # domain is maxlen < 256, README.md:13-21); >65536 exercises the
+    # whole-buffer composite semantics
+    for max_len in ([16, 64, 256, 1024, 65536, 262144] if on_tpu else [64]):
         offs, S = prng.make_random_segments(total, max_len, seed=3)
+        engine = ("windowed"
+                  if splitsort._window_max_length(offs, total, int(S))
+                  is not None else "composite")
 
         def seg_rand_fn(codes, offs=offs, S=S):
             k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
             return k
 
-        res = timing.batch_timing(seg_rand_fn, total, batch=3, seed=10)
+        res = timing.batch_timing(seg_rand_fn, total, batch=5, seed=10,
+                                  repeats=2)
         emit(f"segsort_random_maxlen{max_len}_pairs", res["keys_per_sec"],
-             total, {"engine": "composite", "segments": int(S)})
+             total, {"engine": engine, "segments": int(S)})
 
     with open(outpath, "a") as f:
         stamp = {"ts": time.time(), "rows": results}

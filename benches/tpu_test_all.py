@@ -102,6 +102,50 @@ def main():
             == np.sort(np.asarray(sk))).all()
     print(f"[radix16 engine] {int(rok)} / 3 passed", flush=True)
 
+    # 6c. native-engine boundary windows: every partial-ROW residue (0..127)
+    #     plus the tile-boundary cases, for radix16 AND the 3-phase rts AND
+    #     splitsweep, keys and pairs.  Sizes inside one padded-tile bucket
+    #     share a kernel compile (the size-bucketing that makes this sweep
+    #     affordable; reference sweeps [part, 2*part] exhaustively,
+    #     GPUSortBase.h:245-248).  GST_EXHAUSTIVE=1 widens to the full
+    #     [tile, 2*tile] window.
+    from gpusorting_tpu.ops import rts as rts_mod, splitsweep
+    tile_elems = 512 * 128
+    if os.environ.get("GST_EXHAUSTIVE") == "1":
+        sizes = list(range(tile_elems, 2 * tile_elems + 1))
+    else:
+        sizes = ([tile_elems + k for k in range(0, 130)]
+                 + [2 * tile_elems - k for k in range(0, 130)]
+                 + [2 * tile_elems + 1, tile_elems // 2 + 37])
+    engines = {
+        "radix16": lambda x: radix16.sort_codes_radix16(x),
+        "rts": lambda x: rts_mod.sort_codes_rts(x),
+        "splitsweep": lambda x: splitsweep.sort_codes_splitsweep(x),
+    }
+    for name, eng in engines.items():
+        bad = 0
+        for n in sizes:
+            xx = prng.hybrid_taus_bits(n, seed=n & 0x7FFF)
+            if not (np.asarray(eng(xx)) == np.sort(np.asarray(xx))).all():
+                bad += 1
+        print(f"[boundary {name}] {len(sizes)-bad} / {len(sizes)} passed",
+              flush=True)
+    # pairs boundary (stable) through radix16 and rts
+    bad = 0
+    psizes = sizes[::13] or sizes
+    for n in psizes:
+        kk = prng.hybrid_taus_bits(n, seed=n & 0xFFF) & jnp.uint32(0x3FF)
+        vv = jnp.arange(n, dtype=jnp.uint32)
+        import jax as _jax
+        rk, rv = _jax.lax.sort((kk, vv), num_keys=1, is_stable=True)
+        for fn in (radix16.sort_pairs_radix16, rts_mod.sort_pairs_rts):
+            sk, sv = fn(kk, vv)
+            if not ((np.asarray(sk) == np.asarray(rk)).all()
+                    and (np.asarray(sv) == np.asarray(rv)).all()):
+                bad += 1
+    print(f"[boundary pairs x2engines] {2*len(psizes)-bad} / "
+          f"{2*len(psizes)} passed", flush=True)
+
     # 7. distributed path compiles and runs on real hardware (1-chip mesh)
     from gpusorting_tpu.parallel import dist_sort
     mesh = dist_sort.make_mesh(1)

@@ -211,6 +211,11 @@ class TuningParameters:
     # VMEM budget the compiler may use, bytes; consumed by ops.bitonic and
     # ops.kernels as CompilerParams(vmem_limit_bytes=...).
     vmem_limit_bytes: int
+    # Grid-tile rows for the native radix binning kernels (radix16/rts);
+    # the per-generation values come from benches/ablate_radix16.py sweeps
+    # (v5e measured; other generations scaled by VMEM headroom until
+    # hardware is available — see _TUNING_TABLE notes).
+    radix_tile_rows: int = 512
 
     @property
     def partition_size(self) -> int:

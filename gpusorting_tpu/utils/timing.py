@@ -50,10 +50,17 @@ def batch_timing(
     batch: int = 10,
     seed: int = 10,
     entropy: EntropyPreset = EntropyPreset.E100,
+    repeats: int = 1,
 ) -> dict:
     """Time `sort_fn` (u32 codes -> u32 codes) per reference harness rules.
 
-    Returns {"seconds_per_sort", "keys_per_sec", "n", "batch"}.
+    `repeats` re-runs the timed chain and reports the spread, so
+    round-over-round deltas are attributable to code rather than timing
+    noise (reference batches 100+ iterations for the same reason,
+    OneSweepDispatcher.cuh:193-239; the chain-repeat split keeps the
+    per-fetch RPC overhead amortized on this rig).
+
+    Returns {"seconds_per_sort", "keys_per_sec", "n", "batch", spread...}.
     """
     ac = entropy.and_count
     loop_with = jax.jit(
@@ -68,19 +75,25 @@ def batch_timing(
     _sync(loop_without())
 
     t0 = time.perf_counter()
-    _sync(loop_with())
-    t_with = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
     _sync(loop_without())
     t_gen = time.perf_counter() - t0
 
-    per_sort = max(t_with - t_gen, 1e-9) / batch
+    per_sorts = []
+    for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        _sync(loop_with())
+        t_with = time.perf_counter() - t0
+        per_sorts.append(max(t_with - t_gen, 1e-9) / batch)
+
+    per_sort = float(np.mean(per_sorts))
     return {
         "seconds_per_sort": per_sort,
         "keys_per_sec": n / per_sort,
         "n": n,
-        "batch": batch,
+        "batch": batch * max(1, repeats),
+        "spread_min_s": float(np.min(per_sorts)),
+        "spread_max_s": float(np.max(per_sorts)),
+        "repeats": max(1, repeats),
         "gen_seconds": t_gen,
-        "total_seconds": t_with,
+        "total_seconds": float(np.sum(per_sorts)) * batch,
     }
