@@ -233,28 +233,36 @@ class TuningParameters:
         return 1 << (rows.bit_length() - 1)
 
 
+# radix_tile_rows: v5e row measured by benches/ablate_radix16.py +
+# /tmp-style sweeps (2^24 keys, round 2): tile 256 -> 0.141 Gkeys/s,
+# 512 -> 0.162, 1024 -> 0.158, 2048 -> 0.171 (best; accumulators fit the
+# scoped-VMEM budget at 1 operand).  PAIRS carries 2x the accumulator
+# VMEM, so its tile halves.  Other generations are derived, not measured
+# (no hardware this round): v5p/v6e get the v5e tile (same VMEM class,
+# more bandwidth headroom); v4's slower HBM favors the smaller tile that
+# overlaps DMA more aggressively.
 _TUNING_TABLE = {
     # generation -> (mode -> TuningParameters)
     "v4": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 1024),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 512),
     },
     "v5e": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 2048),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 1024),
     },
     "v5p": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 2048),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 1024),
     },
     "v6e": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 2048),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 1024),
     },
 }
 _GENERIC_TUNING = {
-    Mode.KEYS_ONLY: TuningParameters(512, 7, 1 << 15, 64 << 20),
-    Mode.PAIRS: TuningParameters(512, 7, 1 << 15, 64 << 20),
+    Mode.KEYS_ONLY: TuningParameters(512, 7, 1 << 15, 64 << 20, 512),
+    Mode.PAIRS: TuningParameters(512, 7, 1 << 15, 64 << 20, 512),
 }
 
 

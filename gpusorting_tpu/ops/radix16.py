@@ -164,13 +164,15 @@ def _run_tables(dsort, tile_rows: int):
 
 import os as _os
 
-_SKIP_EMPTY = _os.environ.get("GST_RADIX16_SKIP_EMPTY", "1") == "1"
-# f32 16-bit two-plane placement is exact and halves plane work, but
-# f32xf32 dot_general CRASHES this Mosaic backend at runtime
-# (FailedPrecondition, measured round 2) — default stays on the bf16
-# 8-bit four-plane path.
+# Hardware ablation at 2^24 uniform (v5e, round 2): baseline 108 ms;
+# XLA rowsort 104 ms (keep); per-(block,bucket) pl.when skip 149 ms — the
+# branches de-pipeline the placement loop, so occupancy skipping must be
+# gated at tile granularity, not block (see _place_bucket); the SMEM
+# high-water accumulator discipline blew up compile time (>15 min) — bulk
+# zeroing stays.  f32x f32 dot_general crashes this Mosaic at runtime.
+_SKIP_EMPTY = _os.environ.get("GST_RADIX16_SKIP_EMPTY", "0") == "1"
 _F32_PLANES = _os.environ.get("GST_RADIX16_F32_PLANES", "0") == "1"
-_TOPS_DISCIPLINE = _os.environ.get("GST_RADIX16_TOPS", "1") == "1"
+_TOPS_DISCIPLINE = _os.environ.get("GST_RADIX16_TOPS", "0") == "1"
 # Within-row digit grouping strategy: XLA's batched minor-axis sort of the
 # packed (digit<<7 | lane) rows measured 0.67 ms/2^24 vs 1.8 ms for the
 # in-kernel bitonic-28 (probes/probe12_rowsort.py); the permutation is
@@ -547,20 +549,48 @@ def _build_pass(rows: int, tile_rows: int, num_ops: int,
     return jax.jit(call)
 
 
+@functools.lru_cache(maxsize=None)
+def _build_pass_with_skip(rows: int, tile_rows: int, num_ops: int,
+                          interpret: bool):
+    """Cached (pass | identity) conditional — one compile for all 8 passes.
+
+    Entropy / bounded-bits adaptivity: a pass whose digit is globally
+    constant is the identity — skipped via lax.cond (reference entropy
+    benchmark family README.md:25-27; also fires for keys bounded below 32
+    bits, the bits_to_sort lever).
+    """
+    call = _build_pass(rows, tile_rows, num_ops, interpret)
+
+    def with_skip(sched, ctrl, skip, *xs):
+        def run_pass(xs_in):
+            return tuple(call(sched, ctrl, *xs_in)[:num_ops])
+
+        def skip_pass(xs_in):
+            return tuple(
+                jnp.concatenate([x, jnp.zeros((2, LANES), jnp.int32)])
+                for x in xs_in)
+
+        return jax.lax.cond(skip, skip_pass, run_pass, tuple(xs))
+
+    return jax.jit(with_skip)
+
+
 def _is_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
 def _bases_all_passes(x: jnp.ndarray,
-                      interpret: bool | None = None) -> jnp.ndarray:
-    """(8,16) exclusive digit bases from one histogram read."""
+                      interpret: bool | None = None):
+    """(8,16) exclusive digit bases + (8,16) digit counts, one hist read."""
     hist8 = _kernels.global_histogram(x, passes=4, interpret=interpret)
     joint = hist8.reshape(4, 16, 16)
-    bases = []
+    bases, counts = [], []
     for p in range(8):
         h4 = joint[p // 2].sum(axis=1 if (p % 2) else 0)      # (16,)
+        counts.append(h4)
         bases.append(jnp.cumsum(h4) - h4)
-    return jnp.stack(bases).astype(jnp.int32)
+    return (jnp.stack(bases).astype(jnp.int32),
+            jnp.stack(counts).astype(jnp.int32))
 
 
 def _sort_radix16(operands, tile_rows: int, interpret: bool | None = None,
@@ -589,19 +619,21 @@ def _sort_radix16(operands, tile_rows: int, interpret: bool | None = None,
             x = jnp.concatenate([x, fill])
         xs.append(x.reshape(rows, LANES).view(jnp.int32))
 
-    bases = _bases_all_passes(
+    bases, digit_counts = _bases_all_passes(
         xs[0].reshape(-1).view(jnp.uint32), interpret=interpret)
     sched = jnp.asarray(_within_row_sort_schedule())
     total_tiles = rows // tile_rows
+    n_total = jnp.int32(rows * LANES)
     if segments:
         bounds = sorted({0, total_tiles}
                         | {s for s in segments if 0 < s < total_tiles})
     for p in range(8):
         shift_arr = jnp.full((1,), 4 * p, jnp.int32)
         if not segments or len(bounds) == 2:
-            call = _build_pass(rows, tile_rows, num_ops, interpret)
-            res = call(sched, jnp.concatenate([bases[p], shift_arr]), *xs)
-            ys = res[:num_ops]
+            call = _build_pass_with_skip(rows, tile_rows, num_ops, interpret)
+            skip = jnp.max(digit_counts[p]) == n_total
+            ys = call(sched, jnp.concatenate([bases[p], shift_arr]),
+                      skip, *xs)
         else:
             cursors = bases[p]
             ys, carry = None, None
@@ -634,10 +666,11 @@ def adversarial_segments(n: int, tile_rows: int = 512) -> tuple[int, ...]:
     return tuple(sorted({1, t // 3, t // 2, t - 1} - {0}))
 
 
-def _default_tile_rows() -> int:
-    from ..core.config import get_tuning_parameters
+def _default_tile_rows(pairs: bool = False) -> int:
+    from ..core.config import Mode, get_tuning_parameters
 
-    return get_tuning_parameters().radix_tile_rows
+    mode = Mode.PAIRS if pairs else Mode.KEYS_ONLY
+    return get_tuning_parameters(mode=mode).radix_tile_rows
 
 
 def sort_codes_radix16(codes: jnp.ndarray, tile_rows: int | None = None,
@@ -658,6 +691,6 @@ def sort_pairs_radix16(codes: jnp.ndarray, payload: jnp.ndarray,
     jax.lax.sort((codes, payload), is_stable=True) because every pass is
     stable (see module docstring).
     """
-    tile_rows = tile_rows or _default_tile_rows()
+    tile_rows = tile_rows or _default_tile_rows(pairs=True)
     return _sort_radix16((codes, payload.view(jnp.uint32)), tile_rows,
                          interpret, segments)

@@ -45,6 +45,7 @@ from .radix16 import (
     NBUCKETS,
     _BAND,
     _BLK,
+    _TOPS_DISCIPLINE,
     _XLA_ROWSORT,
     _is_tpu,
     _pack_rows,
@@ -96,6 +97,10 @@ def _downsweep_kernel(sched_ref, ctrl_ref, table_ref, *refs, tile_rows: int,
     xs, dsort = _pack_rows(sched_ref, xin, ctrl_ref[0], tile_rows,
                            sp=sp_ref[:] if _XLA_ROWSORT else None)
     rowstart, cnt, rowpref, tilecnt = _run_tables(dsort, tile_rows)
+
+    if not _TOPS_DISCIPLINE:
+        for acc in accs:
+            acc[:] = jnp.zeros_like(acc)
 
     def rmw_or(o, out_row, acc_row, d):
         """out[out_row] |= accs[o][d, acc_row] (single row, sequential)."""
@@ -277,4 +282,4 @@ def sort_pairs_rts(codes: jnp.ndarray, payload: jnp.ndarray,
     from .radix16 import _default_tile_rows
 
     return _sort_rts((codes, payload.view(jnp.uint32)),
-                     tile_rows or _default_tile_rows(), interpret)
+                     tile_rows or _default_tile_rows(pairs=True), interpret)

@@ -59,10 +59,13 @@ _SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 def _sample_splitters(codes, pos, oversample: int):
     n = codes.shape[0]
-    stride = max(1, n // (NBUCKETS * oversample))
-    sc, sp_ = jax.lax.sort((codes[::stride], pos[::stride]), num_keys=2,
+    m = min(n, NBUCKETS * oversample)
+    # multiplicative-hash sample positions: a fixed stride aliases with
+    # periodic inputs (e.g. every 3rd key equal), silently skewing buckets
+    sidx = (jnp.arange(m, dtype=jnp.uint32)
+            * jnp.uint32(2654435761)) % jnp.uint32(n)
+    sc, sp_ = jax.lax.sort((codes[sidx], pos[sidx]), num_keys=2,
                            is_stable=False)
-    m = sc.shape[0]
     idx = (jnp.arange(1, NBUCKETS, dtype=jnp.int32) * m) // NBUCKETS
     return sc[idx], sp_[idx]
 
@@ -77,21 +80,21 @@ def _bucketize(codes, pos, spl_c, spl_p):
     return b
 
 
-def _partition_16(codes2d, bucket2d, cap_rows: int, tile_rows: int,
+def _partition_16(ops2d, bucket2d, cap_rows: int, tile_rows: int,
                   interpret: bool):
-    """Scatter rows into 16 row-aligned regions of cap_rows each."""
-    rows = codes2d.shape[0]
+    """Scatter rows of each operand into 16 row-aligned regions."""
+    rows = ops2d[0].shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
     packed = (bucket2d << 7) | lane
     sp = jax.lax.sort((packed,), num_keys=1, is_stable=False, dimension=1)[0]
     bases = jnp.arange(NBUCKETS, dtype=jnp.int32) * (cap_rows * LANES)
     ctrl = jnp.concatenate([bases, jnp.zeros((1,), jnp.int32)])
     sched = jnp.asarray(_within_row_sort_schedule())
-    call = _build_pass(rows, tile_rows, 1, interpret,
+    call = _build_pass(rows, tile_rows, len(ops2d), interpret,
                        external_sp=True, flush_write=True,
                        out_rows=NBUCKETS * cap_rows)
-    res = call(sched, ctrl, sp, codes2d)
-    return res[0][:NBUCKETS * cap_rows]
+    res = call(sched, ctrl, sp, *ops2d)
+    return tuple(r[:NBUCKETS * cap_rows] for r in res[:len(ops2d)])
 
 
 def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
@@ -138,9 +141,9 @@ def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
             jax.errors.TracerArrayConversionError):
         pass  # traced: the documented slack applies
 
-    out = _partition_16(
-        x.reshape(rows, LANES).view(jnp.int32), bucket.reshape(rows, LANES),
-        cap_rows, tile_rows, interpret)
+    (out,) = _partition_16(
+        (x.reshape(rows, LANES).view(jnp.int32),),
+        bucket.reshape(rows, LANES), cap_rows, tile_rows, interpret)
 
     regions = out.reshape(NBUCKETS, cap).view(jnp.uint32)
     in_idx = jax.lax.broadcasted_iota(jnp.int32, (NBUCKETS, cap), 1)
@@ -156,3 +159,75 @@ def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
     packed, _cnt = stitch.compact(
         sorted_regions.reshape(-1), valid.reshape(-1), interpret=interpret)
     return packed[:n]
+
+
+def sort_pairs_splitsweep(codes: jnp.ndarray, payload: jnp.ndarray,
+                          tile_rows: int | None = None,
+                          oversample: int = 64, slack: float = 1.35,
+                          interpret: bool | None = None):
+    """STABLE pair sort via the splitter partition.
+
+    Stability: the partition preserves in-bucket relative order (rows in
+    order, tiles in order; boundary ties split by position), and each
+    bucket's sub-sort uses its in-bucket index as the tiebreak — so equal
+    keys keep original order end to end.  Gap sentinels carry the largest
+    indices and sort strictly last, so count-prefix assembly is exact even
+    with real 0xFFFFFFFF keys.  Bit-exact with
+    jax.lax.sort((codes, payload), is_stable=True).
+    """
+    if interpret is None:
+        interpret = not _is_tpu()
+    if tile_rows is None:
+        from .radix16 import _default_tile_rows
+
+        tile_rows = _default_tile_rows()
+    n = codes.shape[0]
+    rows = max(tile_rows, -(-n // LANES))
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    x, p = codes, payload.view(jnp.uint32)
+    if pad:
+        x = jnp.concatenate([x, jnp.full((pad,), _SENTINEL, jnp.uint32)])
+        p = jnp.concatenate([p, jnp.zeros((pad,), jnp.uint32)])
+    np_total = rows * LANES
+
+    pos = jnp.arange(np_total, dtype=jnp.uint32)
+    spl_c, spl_p = _sample_splitters(x, pos, oversample)
+    bucket = _bucketize(x, pos, spl_c, spl_p)
+    counts = jnp.stack(
+        [jnp.sum(bucket == d, dtype=jnp.int32) for d in range(NBUCKETS)])
+
+    cap_rows = -(-int(np.ceil(rows * slack / NBUCKETS)) // 8) * 8
+    cap = cap_rows * LANES
+    try:
+        if int(np.asarray(jnp.max(counts))) > cap:
+            raise ValueError(
+                "splitsweep bucket overflow (pathological sample); "
+                "increase slack/oversample or use the XLA backend")
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        pass
+
+    b2 = bucket.reshape(rows, LANES)
+    ok, op = _partition_16(
+        (x.reshape(rows, LANES).view(jnp.int32),
+         p.reshape(rows, LANES).view(jnp.int32)),
+        b2, cap_rows, tile_rows, interpret)
+
+    kreg = ok.reshape(NBUCKETS, cap).view(jnp.uint32)
+    preg = op.reshape(NBUCKETS, cap).view(jnp.uint32)
+    in_idx = jax.lax.broadcasted_iota(jnp.int32, (NBUCKETS, cap), 1)
+    valid = in_idx < counts[:, None]
+    kreg = jnp.where(valid, kreg, _SENTINEL)
+
+    def sub_sort(args):
+        k, v = args
+        iota = jax.lax.iota(jnp.int32, cap)
+        sk, _, sv = jax.lax.sort((k, iota, v), num_keys=2, is_stable=False)
+        return sk, sv
+
+    sk, sv = jax.lax.map(sub_sort, (kreg, preg))
+    (pk, pv), _cnt = stitch.compact_ops(
+        (sk.reshape(-1), sv.reshape(-1)), valid.reshape(-1),
+        interpret=interpret)
+    return pk[:n], pv[:n]

@@ -76,9 +76,22 @@ def _pack_src(prefix):
     return jnp.minimum(pos + 1, LANES - 1)
 
 
-def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
-                    acc, sem, *, tile_rows: int, static_writes: bool):
-    """One tile: pack, place, and stream completed rows to HBM."""
+def _compact_kernel(*refs, tile_rows: int, static_writes: bool,
+                    num_ops: int = 1):
+    """One tile: pack, place, and stream completed rows to HBM.
+
+    refs: num_ops input refs + mask ref; num_ops HBM output refs + count
+    SMEM ref; scratch: carry rows (num_ops, 128), carry meta (2,) SMEM,
+    num_ops accumulators, DMA semaphore.
+    """
+    x_refs = refs[:num_ops]
+    m_ref = refs[num_ops]
+    o_hbms = refs[num_ops + 1:2 * num_ops + 1]
+    cnt_ref = refs[2 * num_ops + 1]
+    carry_row = refs[2 * num_ops + 2]
+    carry_meta = refs[2 * num_ops + 3]
+    accs = refs[2 * num_ops + 4:3 * num_ops + 4]
+    sem = refs[3 * num_ops + 4]
     t = pl.program_id(0)
     nblk = tile_rows // _BLK
 
@@ -88,7 +101,7 @@ def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
         carry_meta[1] = jnp.int32(0)   # full output rows already written
         carry_row[:] = jnp.zeros_like(carry_row)
 
-    x = x_ref[:]
+    xs = tuple(r[:] for r in x_refs)
     m = (m_ref[:] != 0).astype(jnp.int32)
     lane = _lane_iota(tile_rows)
 
@@ -96,7 +109,7 @@ def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
     prefix = _inclusive_lane_prefix(m)
     lens = prefix[:, LANES - 1:LANES]                     # (R,1)
     src = _pack_src(prefix)
-    packed = jnp.take_along_axis(x, src, axis=1)
+    packs = tuple(jnp.take_along_axis(x, src, axis=1) for x in xs)
     j = lane
     valid = j < lens
 
@@ -116,7 +129,7 @@ def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
 
     # 3. rotate to phase and split lo/hi
     rot_idx = (j - phi) & (LANES - 1)                      # (R,128)
-    xr = jnp.take_along_axis(packed, rot_idx, axis=1)
+    xrs = tuple(jnp.take_along_axis(p, rot_idx, axis=1) for p in packs)
     jr = jnp.take_along_axis(jnp.where(valid, j, LANES), rot_idx, axis=1)
     # element at rotated lane l has original j = jr[l]; it is lo if
     # phi + jr < 128 i.e. l == phi+jr (no wrap), hi if it wrapped
@@ -124,9 +137,10 @@ def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
     lo_m = okay & (phi + jr < LANES)
     hi_m = okay & (phi + jr >= LANES)
 
-    # 4. placement per 128-row block into the accumulator
-    acc[:] = jnp.zeros_like(acc)
-    acc[0:1, :] = carry_row[:]
+    # 4. placement per 128-row block into the accumulators
+    for o, acc in enumerate(accs):
+        acc[:] = jnp.zeros_like(acc)
+        acc[0:1, :] = carry_row[o:o + 1, :]
 
     band_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BAND), 1)
     for b in range(nblk):
@@ -136,27 +150,29 @@ def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
         srel = wb - w0                                     # 0.._BAND-2
         s_lo = (srel == band_iota).astype(jnp.int8)        # (BLK,BAND)
         s_hi = (srel + 1 == band_iota).astype(jnp.int8)
-        out_i32 = jnp.zeros((_BAND, LANES), jnp.int32)
-        for part_m, smat in ((lo_m[sl], s_lo), (hi_m[sl], s_hi)):
-            planes = []
-            for k in range(4):
-                byte = ((xr[sl] >> (8 * k)) & 255) - 128   # [-128,127]
-                # mask in i32 (Mosaic rejects int8 elementwise multiplies)
-                planes.append((jnp.where(part_m, byte, 0).astype(jnp.int8),
-                               8 * k))
-            planes.append((part_m.astype(jnp.int8), -1))   # occupancy
-            for mat, shift in planes:
-                r = jax.lax.dot_general(
-                    smat, mat, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32)       # (BAND,128)
-                if shift < 0:
-                    # undo the -128 bias on all four byte planes at once:
-                    # 128 * 0x01010101 == 0x80808080 (mod 2^32)
-                    out_i32 = out_i32 + r * jnp.int32(-2139062144)
-                else:
-                    out_i32 = out_i32 + (r << shift)
-        # accumulate into the tile accumulator at dynamic row offset
-        acc[pl.ds(w0, _BAND), :] = acc[pl.ds(w0, _BAND), :] + out_i32
+        for o, acc in enumerate(accs):
+            out_i32 = jnp.zeros((_BAND, LANES), jnp.int32)
+            for part_m, smat in ((lo_m[sl], s_lo), (hi_m[sl], s_hi)):
+                planes = []
+                for k in range(4):
+                    byte = ((xrs[o][sl] >> (8 * k)) & 255) - 128
+                    # mask in i32 (Mosaic rejects int8 elementwise mults)
+                    planes.append(
+                        (jnp.where(part_m, byte, 0).astype(jnp.int8),
+                         8 * k))
+                planes.append((part_m.astype(jnp.int8), -1))  # occupancy
+                for mat, shift in planes:
+                    r = jax.lax.dot_general(
+                        smat, mat, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)     # (BAND,128)
+                    if shift < 0:
+                        # undo the -128 bias on all four byte planes at
+                        # once: 128 * 0x01010101 == 0x80808080 (mod 2^32)
+                        out_i32 = out_i32 + r * jnp.int32(-2139062144)
+                    else:
+                        out_i32 = out_i32 + (r << shift)
+            # accumulate into the tile accumulator at dynamic row offset
+            acc[pl.ds(w0, _BAND), :] = acc[pl.ds(w0, _BAND), :] + out_i32
 
     # 5. stream completed rows to HBM at the global row cursor
     full_rows = tile_total >> 7
@@ -165,75 +181,110 @@ def _compact_kernel(x_ref, m_ref, o_hbm, cnt_ref, carry_row, carry_meta,
     if static_writes:
         # interpret mode cannot express dynamic-size slices: write the whole
         # accumulator; later tiles rewrite the overlap with correct content
-        cp = pltpu.make_async_copy(
-            acc.at[pl.ds(0, tile_rows + _BAND), :],
-            o_hbm.at[pl.ds(rows_written, tile_rows + _BAND), :],
-            sem)
-        cp.start()
-        cp.wait()
-    else:
-        @pl.when(full_rows > 0)
-        def _():
+        for o in range(num_ops):
             cp = pltpu.make_async_copy(
-                acc.at[pl.ds(0, full_rows), :],
-                o_hbm.at[pl.ds(rows_written, full_rows), :],
+                accs[o].at[pl.ds(0, tile_rows + _BAND), :],
+                o_hbms[o].at[pl.ds(rows_written, tile_rows + _BAND), :],
                 sem)
             cp.start()
             cp.wait()
+    else:
+        @pl.when(full_rows > 0)
+        def _():
+            for o in range(num_ops):
+                cp = pltpu.make_async_copy(
+                    accs[o].at[pl.ds(0, full_rows), :],
+                    o_hbms[o].at[pl.ds(rows_written, full_rows), :],
+                    sem)
+                cp.start()
+                cp.wait()
     # 6. save trailing partial row into the carry
     rem = tile_total & (LANES - 1)
-    tail = acc[pl.ds(full_rows, 1), :]
     keep = _lane_iota(1) < rem
-    carry_row[:] = jnp.where(keep, tail, 0)
+    for o, acc in enumerate(accs):
+        tail = acc[pl.ds(full_rows, 1), :]
+        carry_row[o:o + 1, :] = jnp.where(keep, tail, 0)
     carry_meta[0] = rem
     carry_meta[1] = rows_written + full_rows
 
     @pl.when(t == pl.num_programs(0) - 1)
     def _():
-        # flush the zero-padded partial row and report the count
-        cp2 = pltpu.make_async_copy(
-            carry_row.at[pl.ds(0, 1), :],
-            o_hbm.at[pl.ds(carry_meta[1], 1), :], sem)
-        cp2.start()
-        cp2.wait()
+        # flush the zero-padded partial rows and report the count
+        for o in range(num_ops):
+            cp2 = pltpu.make_async_copy(
+                carry_row.at[pl.ds(o, 1), :],
+                o_hbms[o].at[pl.ds(carry_meta[1], 1), :], sem)
+            cp2.start()
+            cp2.wait()
         cnt_ref[0] = carry_meta[1] * LANES + carry_meta[0]
 
 
 @functools.lru_cache(maxsize=16)
-def _build_compact(rows: int, tile_rows: int, interpret: bool):
+def _build_compact(rows: int, tile_rows: int, interpret: bool,
+                   num_ops: int = 1):
     kern = functools.partial(_compact_kernel, tile_rows=tile_rows,
-                             static_writes=interpret)
+                             static_writes=interpret, num_ops=num_ops)
 
-    def call(x, m):
+    def call(*arrs):
         return pl.pallas_call(
             kern,
             grid=(rows // tile_rows,),
-            in_specs=[
-                pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
-                pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
-            ],
-            out_specs=(
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ),
-            out_shape=(
+            in_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+                      for _ in range(num_ops + 1)],
+            out_specs=tuple(pl.BlockSpec(memory_space=pl.ANY)
+                            for _ in range(num_ops))
+            + (pl.BlockSpec(memory_space=pltpu.SMEM),),
+            out_shape=tuple(
                 jax.ShapeDtypeStruct((rows + tile_rows + _BAND, LANES),
-                                     jnp.int32),
-                jax.ShapeDtypeStruct((1,), jnp.int32),
-            ),
+                                     jnp.int32)
+                for _ in range(num_ops))
+            + (jax.ShapeDtypeStruct((1,), jnp.int32),),
             scratch_shapes=[
-                pltpu.VMEM((1, LANES), jnp.int32),          # carry row
+                pltpu.VMEM((num_ops, LANES), jnp.int32),    # carry rows
                 pltpu.SMEM((2,), jnp.int32),                # carry meta
-                pltpu.VMEM((tile_rows + _BAND, LANES), jnp.int32),
-                pltpu.SemaphoreType.DMA(()),
-            ],
+            ] + [pltpu.VMEM((tile_rows + _BAND, LANES), jnp.int32)
+                 for _ in range(num_ops)]
+            + [pltpu.SemaphoreType.DMA(())],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_tuning().vmem_limit_bytes,
                 has_side_effects=True),
             interpret=interpret,
-        )(x, m)
+        )(*arrs)
 
-    return call
+    return jax.jit(call)
+
+
+def compact_ops(values: tuple, mask: jnp.ndarray,
+                interpret: bool | None = None):
+    """Dense row-major streams of `v[mask]` for several 1-D operands moved
+    by the SAME mask (order-preserving).  Returns (packed_tuple, count)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n = values[0].shape[0]
+    dts = [v.dtype for v in values]
+    rows = max(_BLK, -(-n // LANES))
+    # 2048 rows measured best on v5e (5.8 Gelem/s at 2^24; bigger tiles gain
+    # nothing and compile slower); tiles must be whole _BLK blocks
+    tile_rows = min(2048, -(-rows // _BLK) * _BLK)
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    xs = []
+    for v in values:
+        x = v.view(jnp.int32) if v.dtype == jnp.uint32 else v
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), jnp.int32)])
+        xs.append(x.reshape(rows, LANES))
+    m = mask.astype(jnp.int32)
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
+    res = _build_compact(rows, tile_rows, interpret, len(values))(
+        *xs, m.reshape(rows, LANES))
+    outs, cnt = res[:len(values)], res[len(values)]
+    flats = tuple(
+        (o.reshape(-1)[:n].view(dt) if dt == jnp.uint32
+         else o.reshape(-1)[:n])
+        for o, dt in zip(outs, dts))
+    return flats, cnt[0]
 
 
 def compact(values: jnp.ndarray, mask: jnp.ndarray,
@@ -244,22 +295,5 @@ def compact(values: jnp.ndarray, mask: jnp.ndarray,
     elements in input order; the tail is unspecified.  `values` is 1-D i32 or
     u32, `mask` boolean of the same shape.
     """
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    n = values.shape[0]
-    dt = values.dtype
-    rows = max(_BLK, -(-n // LANES))
-    # 2048 rows measured best on v5e (5.8 Gelem/s at 2^24; bigger tiles gain
-    # nothing and compile slower); tiles must be whole _BLK blocks
-    tile_rows = min(2048, -(-rows // _BLK) * _BLK)
-    rows = -(-rows // tile_rows) * tile_rows
-    pad = rows * LANES - n
-    x = values.view(jnp.int32) if dt == jnp.uint32 else values
-    m = mask.astype(jnp.int32)
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad,), jnp.int32)])
-        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
-    out, cnt = _build_compact(rows, tile_rows, interpret)(
-        x.reshape(rows, LANES), m.reshape(rows, LANES))
-    flat = out.reshape(-1)[:n]
-    return (flat.view(dt) if dt == jnp.uint32 else flat), cnt[0]
+    flats, cnt = compact_ops((values,), mask, interpret)
+    return flats[0], cnt

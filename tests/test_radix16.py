@@ -60,6 +60,18 @@ def test_pairs_stable_small():
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
 
 
+def test_bounded_bits_pass_skipping():
+    """Keys bounded to 12 bits: 5 of 8 passes have a constant digit and are
+    skipped via lax.cond (entropy/bits_to_sort adaptivity); output exact."""
+    x = prng.hybrid_taus_bits(20_000, seed=4) & jnp.uint32(0xFFF)
+    _check(x, tile_rows=128)
+    v = jnp.arange(20_000, dtype=jnp.uint32)
+    sk, sv = radix16.sort_pairs_radix16(x, v, tile_rows=128)
+    rk, rv = jax.lax.sort((x, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
+
+
 # --- EmulatedDeadlocking analog: segmented == fused, bit-exact -------------
 
 

@@ -45,6 +45,29 @@ def test_boundary_sizes():
         _check(prng.hybrid_taus_bits(n, seed=n))
 
 
+def test_pairs_stable():
+    n = 40_000
+    k = prng.hybrid_taus_bits(n, seed=2) & jnp.uint32(0xFF)
+    v = jnp.arange(n, dtype=jnp.uint32)
+    sk, sv = splitsweep.sort_pairs_splitsweep(k, v, tile_rows=128)
+    rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
+
+
+def test_pairs_max_code_and_periodic():
+    """Periodic max-code keys: catches stride-aliased sampling (the sample
+    positions are multiplicative-hashed for exactly this input family)."""
+    n = 40_000
+    base = prng.hybrid_taus_bits(n, seed=2) & jnp.uint32(0xFF)
+    k = jnp.where(jnp.arange(n) % 3 == 0, jnp.uint32(0xFFFFFFFF), base)
+    v = jnp.arange(n, dtype=jnp.uint32)
+    sk, sv = splitsweep.sort_pairs_splitsweep(k, v, tile_rows=128)
+    rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
+
+
 def test_two_level():
     """Recursive sub_sort = a second partition level."""
     x = prng.hybrid_taus_bits(60_000, seed=9)
