@@ -3,7 +3,9 @@
 
 Reference harness (BASELINE.md): 2^28 u32 keys, batch average excluding one
 warmup, input regenerated per iteration with seed i+seed, timing covers only
-the sort (GPUSortingCUDA.cu:20-49, OneSweepDispatcher.cuh:193-239).
+the sort (GPUSortingCUDA.cu:20-49, OneSweepDispatcher.cuh:193-239).  Batch
+is 20 (4 timed chains of 5) with the min/max chain spread reported so
+round-over-round deltas are attributable (VERDICT r1 #9).
 
 Prints ONE JSON line:
   {"metric": "keys_per_sec_u32_2^28", "value": N, "unit": "keys/s",
@@ -21,8 +23,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
-    import jax
-
     import gpusorting_tpu as gst
     from gpusorting_tpu.ops import radix
     from gpusorting_tpu.utils import timing
@@ -31,12 +31,12 @@ def main():
     on_tpu = info.platform == "tpu"
 
     n = 1 << 28 if on_tpu else 1 << 20
-    batch = 5 if on_tpu else 3
+    batch, repeats = (5, 4) if on_tpu else (3, 1)
 
     sorter = gst.OneSweep(gst.SortConfig())
     fn = lambda codes: gst.sort(codes, backend=sorter.config.backend)
 
-    res = timing.batch_timing(fn, n, batch=batch, seed=10)
+    res = timing.batch_timing(fn, n, batch=batch, seed=10, repeats=repeats)
 
     # speed-of-light: 4 radix passes x (read 4B + write 4B) per key
     sol_keys_per_sec = info.hbm_gbps * 1e9 / 32.0
@@ -48,8 +48,10 @@ def main():
         "vs_baseline": value / sol_keys_per_sec,
         "detail": {
             "n": n,
-            "batch": batch,
+            "batch": res["batch"],
             "seconds_per_sort": res["seconds_per_sort"],
+            "spread_min_s": res.get("spread_min_s"),
+            "spread_max_s": res.get("spread_max_s"),
             "device": info.device_kind,
             "generation": info.generation,
             "backend_native_pallas": radix.is_native(),

@@ -33,8 +33,20 @@ from . import bitonic, xla_sort
 
 
 def is_native() -> bool:
-    """True when the AUTO backend would run sorts in native Pallas kernels."""
-    return False  # XLA path still wins at flagship size; see module docstring
+    """True when the AUTO backend would run sorts in native Pallas kernels.
+
+    Round-2 hardware status (v5e, 2^24 keys): XLA flat 17.8 ms; native
+    engines — fused radix16 97.8 ms (tile 2048, best tuned), 3-phase rts
+    similar, splitsweep hybrid 34.1 ms.  At 2^28 XLA decays to 467 ms but
+    every native composition still lands at 600 ms+ (the per-bucket
+    placement work is the measured wall: rotations ~1 ms/pass + bf16 byte
+    planes ~8 ms/pass at 2^24, and every cheaper variant either crashes
+    this Mosaic (f32 matmuls), de-pipelines (per-block conditionals), or
+    is neutral (fused wide matmuls) — probes/PROBES.md).  AUTO therefore
+    still resolves to XLA; flipping this bool is gated on a native engine
+    actually beating the XLA path at 2^28.
+    """
+    return False
 
 
 def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "onesweep"):
