@@ -77,6 +77,10 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
 
         sc = radix16.sort_codes_radix16(
             codes, segments=radix16.adversarial_segments(codes.shape[0]))
+    elif variant == "splitsweep":
+        from . import splitsweep
+
+        sc = splitsweep.sort_codes_splitsweep(codes)
     else:
         sc = bitonic.sort_codes(codes)
     out = codec.decode_keys(sc, kt)
@@ -102,6 +106,11 @@ def sort_pairs(
         from . import rts
 
         sc, sbits = rts.sort_pairs_rts(codec.encode_keys(keys), bits)
+    elif variant == "splitsweep" and bits.dtype != jnp.uint64:
+        from . import splitsweep
+
+        sc, sbits = splitsweep.sort_pairs_splitsweep(
+            codec.encode_keys(keys), bits)
     elif (variant in ("ffx", "emulated_deadlocking")
             and bits.dtype != jnp.uint64):
         from . import radix16

@@ -357,9 +357,12 @@ def next_fit_bin_packing(lengths, bin_capacity: int = 32):
 
     Reference: NextFitBinPacking packs runs of <=32-length segments into
     32-key bins so one warp sorts a whole bin (SplitSortBinning.cuh:360-438).
-    The TPU analog packs small segments into 128-lane rows for batched
-    sorting.  Returns (bin_id per segment, bin_count); segments longer than
-    capacity get bin_id -1.
+    On TPU the two-window execution path makes packing UNNECESSARY for
+    correctness or speed (segments are sorted in place; no gather into
+    bins), so this is informational metadata: it reports how tightly the
+    reference's warp-bin strategy would have packed the workload.
+    Returns (bin_id per segment, bin_count); segments longer than capacity
+    get bin_id -1.
     """
     lengths = np.asarray(lengths, dtype=np.int64)
     bin_ids = np.full(lengths.shape, -1, dtype=np.int64)

@@ -80,3 +80,20 @@ def test_two_level():
     out = np.asarray(splitsweep.sort_codes_splitsweep(
         x, tile_rows=128, sub_sort=second_level))
     np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
+
+
+def test_variant_dispatch():
+    """variant='splitsweep' routes through the hybrid engine (keys+pairs)."""
+    import gpusorting_tpu as gst
+
+    keys = prng.hybrid_taus_bits(20_000, seed=15)
+    out = gst.sort(keys, backend=gst.Backend.PALLAS, variant="splitsweep")
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.sort(np.asarray(keys)))
+    k = keys & jnp.uint32(0xFF)
+    v = jnp.arange(20_000, dtype=jnp.uint32)
+    sk, sv = gst.sort_pairs(k, v, backend=gst.Backend.PALLAS,
+                            variant="splitsweep")
+    rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
