@@ -181,9 +181,16 @@ def distributed_sort(
     sorted_ops, counts = p1[:n_sorted], p1[n_sorted]
 
     if cap_rows is None:
-        # exact capacity: overflow structurally impossible
-        cell_max = int(np.asarray(jnp.max(counts)))
-        cap = max(128, -(-cell_max // 128) * 128)
+        try:
+            # exact capacity: overflow structurally impossible
+            cell_max = int(np.asarray(jnp.max(counts)))
+            cap = max(128, -(-cell_max // 128) * 128)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            # under an outer jit the counts are traced and the shape must
+            # be static: fall back to the never-drop bound (a cell can
+            # hold at most the whole source shard)
+            cap = max(128, -(-(n // n_dev) // 128) * 128)
     else:
         cap = max(128, int(cap_rows))
 

@@ -125,6 +125,23 @@ def test_distributed_exact_cap_never_overflows(cpu_mesh):
         assert int(np.asarray(res["overflow"])[0]) == 0
 
 
+def test_distributed_under_jit(cpu_mesh):
+    """distributed_sort must be traceable (the exact-cap host fetch falls
+    back to the never-drop bound under an outer jit)."""
+    n = 1 << 12
+    keys = prng.make_test_keys(n, seed=13)
+
+    @jax.jit
+    def run(k):
+        res = dist_sort.distributed_sort(k, mesh=cpu_mesh)
+        return res["codes"], res["counts"], res["overflow"]
+
+    codes, counts, overflow = run(keys)
+    assert int(np.asarray(overflow)[0]) == 0
+    total = int(np.asarray(counts).sum())
+    assert total == n
+
+
 def test_distributed_f32(cpu_mesh):
     n = 1 << 12
     keys = prng.make_test_keys(n, seed=8, key_dtype=jnp.float32)
