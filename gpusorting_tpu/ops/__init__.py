@@ -60,22 +60,35 @@ def sort_pairs_wide(
     hi: jnp.ndarray,
     order: Order = Order.ASCENDING,
     backend: Backend = Backend.AUTO,
+    variant: str = "onesweep",
 ):
     """Stable pair sort with a 64-bit payload as two u32 planes (lo, hi).
 
     The TPU-native 64-bit payload representation: works regardless of the
     jax x64 flag (64-bit dtypes silently truncate without it).
+    variant="device_radix" rides the native radix pipeline (3 operands).
     """
     _check_lengths(keys, lo, hi)
     b = _resolve(backend)
     if b == Backend.PALLAS:
-        from . import bitonic
-
         from ..core import codec
 
         kt = codec.key_type_of(keys)
-        sc, slo, shi = bitonic.sort_codes_stable_with(
-            codec.encode_keys(keys), lo.view(jnp.uint32), hi.view(jnp.uint32))
+        if variant == "device_radix":
+            # the native radix pipeline carries any number of ride-along
+            # operands: the 64-bit payload is simply two of them
+            from . import radix16
+
+            sc, slo, shi = radix16._sort_radix16(
+                (codec.encode_keys(keys), lo.view(jnp.uint32),
+                 hi.view(jnp.uint32)),
+                radix16._default_tile_rows(pairs=True))
+        else:
+            from . import bitonic
+
+            sc, slo, shi = bitonic.sort_codes_stable_with(
+                codec.encode_keys(keys), lo.view(jnp.uint32),
+                hi.view(jnp.uint32))
         out_k = codec.decode_keys(sc, kt)
         if order == Order.DESCENDING:
             out_k = jnp.flip(out_k, axis=0)

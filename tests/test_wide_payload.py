@@ -105,3 +105,20 @@ print("X64OK")
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     assert "X64OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_wide_payload_native_radix_variant():
+    """64-bit payload as dual planes through the radix16 pipeline (3 ops)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from gpusorting_tpu.core import prng
+
+    n = 20_000
+    keys = prng.hybrid_taus_bits(n, seed=3) & jnp.uint32(0xFFFF)
+    lo = jnp.arange(n, dtype=jnp.uint32)
+    hi = prng.hybrid_taus_bits(n, seed=4)
+    a = gst.sort_pairs_wide(keys, lo, hi, backend=gst.Backend.PALLAS,
+                            variant="device_radix")
+    b = gst.sort_pairs_wide(keys, lo, hi, backend=gst.Backend.XLA)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
