@@ -114,8 +114,12 @@ def main():
     if os.environ.get("GST_EXHAUSTIVE") == "1":
         sizes = list(range(tile_elems, 2 * tile_elems + 1))
     else:
-        sizes = ([tile_elems + k for k in range(0, 130)]
-                 + [2 * tile_elems - k for k in range(0, 130)]
+        # each size costs a per-shape XLA glue compile (~2-5 s) on this
+        # rig, so the default sweep covers the informative residues: the
+        # first/last partial-row lanes around each tile boundary + a
+        # mid-tile point.  GST_EXHAUSTIVE=1 runs every size.
+        sizes = ([tile_elems + k for k in (0, 1, 2, 63, 127, 128, 129)]
+                 + [2 * tile_elems - k for k in (1, 127, 128)]
                  + [2 * tile_elems + 1, tile_elems // 2 + 37])
     engines = {
         "radix16": lambda x: radix16.sort_codes_radix16(x),

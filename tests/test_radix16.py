@@ -26,22 +26,24 @@ def _check(x, **kw):
     np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
 
 
-def test_uniform_small():
+def test_uniform_small_default_tile():
+    # the one test exercising the tuner's default tile (others pin 128 to
+    # share one interpret-mode kernel compile)
     _check(prng.hybrid_taus_bits(20_000, seed=1))
 
 
 def test_skewed_entropy_small():
     _check(prng.make_test_keys(
-        30_000, 7, jnp.uint32, prng.EntropyPreset.E020))
+        30_000, 7, jnp.uint32, prng.EntropyPreset.E020), tile_rows=128)
 
 
 def test_all_equal():
-    _check(jnp.full((70_000,), 0xDEADBEEF, jnp.uint32))
+    _check(jnp.full((70_000,), 0xDEADBEEF, jnp.uint32), tile_rows=128)
 
 
 def test_boundary_sizes_small():
     for n in (1, 127, 65536, 65537):
-        _check(prng.hybrid_taus_bits(n, seed=n))
+        _check(prng.hybrid_taus_bits(n, seed=n), tile_rows=128)
 
 
 def test_bad_tile_rows():
@@ -54,7 +56,7 @@ def test_pairs_stable_small():
     n = 20_000
     k = prng.hybrid_taus_bits(n, seed=2) & jnp.uint32(0xFF)
     v = jnp.arange(n, dtype=jnp.uint32)
-    sk, sv = radix16.sort_pairs_radix16(k, v)
+    sk, sv = radix16.sort_pairs_radix16(k, v, tile_rows=128)
     rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
