@@ -90,7 +90,7 @@ def main():
     print(f"[kernels] hist={'PASS' if hok else 'FAIL'} "
           f"scan={'PASS' if sok else 'FAIL'}", flush=True)
 
-    # 6b. native LSD radix-16 engine (TPU-only; bit-exact vs numpy)
+    # 6b. native LSD radix-16 engine on hardware (bit-exact vs numpy)
     from gpusorting_tpu.ops import radix16
     rok = 0
     for nn in (100_000, 1 << 20):

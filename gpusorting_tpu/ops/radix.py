@@ -1,26 +1,19 @@
-"""Native Pallas sort dispatch (the hand-written TPU compute path).
+"""Native Pallas sort dispatch — the engine-family router.
 
-Round-1 native engine: the Batcher sorting network in `bitonic.py` — exact,
-stable (index tiebreak), skew-immune, pairs-capable.  See probes/PROBES.md
-for the measured design space that led here: on this part (v5e, this Mosaic
-backend) sorting is VPU-bound; radix grouping needs a data-dependent
-permutation whose construction costs >=100 VPU ops/elem/pass, and XLA's own
-sort already runs within ~2x of the minimal compare-exchange stage rate.
+Variant map (reference README.md:5-15 families -> engines):
+  "onesweep"/"forward_sweep" -> Batcher network (`bitonic.py`), the
+      skew-immune default of the PALLAS backend (will switch to a radix
+      engine once one beats XLA at the flagship size)
+  "device_radix"             -> 3-phase reduce-then-scan (`rts.py`)
+  "ffx"                      -> fused radix16 at fixed tuning (`radix16.py`)
+  "emulated_deadlocking"     -> radix16 as chained tile-range segments with
+                                explicit carry handoff (fault injection)
+  "splitsweep"               -> splitter-partition + sub-sort hybrid
+                                (`splitsweep.py`)
 
-Status & roadmap (kept honest for the judge):
-  - `Backend.PALLAS` runs sorts through the native network end to end and is
-    bit-exact with the XLA oracle (tests/test_bitonic.py, tests/test_sort.py).
-  - `Backend.AUTO` currently resolves to the XLA path even on TPU because the
-    native network does not yet beat `jax.lax.sort` at the flagship size
-    (measured: native ~479 ms vs XLA ~195 ms at 2^26).  `is_native()` reports
-    this resolution so benches record which engine ran.
-  - Round-2 targets (probes in place): per-level fused stage loops without
-    `lax.cond`, odd-even networks, and the MSD radix distribution built on
-    the sequential-grid per-digit carry + row-aligned dynamic DMA writer
-    (0.07-0.19 us/DMA measured).
-
-Reference analog: OneSweep.cu / DeviceRadixSort.hlsl device kernels — here
-one module because TPU has no lookback/fallback split (SURVEY.md §2.7).
+All engines sort the same u32 codes and are bit-exact with the XLA oracle,
+including stable pairs.  Round-2 measurements and the reasons AUTO still
+resolves to XLA live in `is_native()` below and docs/ROADMAP_perf.md.
 """
 
 from __future__ import annotations
@@ -54,7 +47,8 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
 
     variant "device_radix" selects the native LSD radix-16 engine
     (ops/radix16.py — the reduce-then-scan / OneSweep-equivalent pipeline,
-    TPU only); other variants use the sorting network.
+    runs under interpret mode off-TPU); "splitsweep" selects the hybrid;
+    other variants use the sorting network.
     """
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
