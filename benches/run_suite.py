@@ -58,8 +58,15 @@ def main():
         # enough iterations that the timed loop dwarfs harness noise
         return int(max(3, min(20000, (1 << 28) // max(n, 1))))
 
+    # GST_SUITE_SECTIONS: comma list to run a subset (xla,native,segsort);
+    # default all — lets a crashed run resume without repeating sections
+    sections = set((os.environ.get("GST_SUITE_SECTIONS") or
+                    "xla,native,segsort").split(","))
+
     # --- size sweep, keys-only u32, XLA engine (flagship path) ---
-    size_points = [10, 14, 18, 20, 22, 24, 26] if on_tpu else [10, 14]
+    size_points = ([10, 14, 18, 20, 22, 24, 26]
+                   if (on_tpu and "xla" in sections) else
+                   ([10, 14] if "xla" in sections else []))
     for logn in size_points:
         n = 1 << logn
         res = timing.batch_timing(
@@ -69,7 +76,7 @@ def main():
 
     # --- entropy sweep (Thearling-Smith presets 1-5) ---
     n = 1 << 26 if on_tpu else 1 << 14
-    for preset in EntropyPreset:
+    for preset in (EntropyPreset if "xla" in sections else []):
         res = timing.batch_timing(
             lambda c: xla_sort.sort_keys_u32(c), n, batch=3, seed=10,
             entropy=preset)
@@ -77,7 +84,8 @@ def main():
              {"engine": "xla", "preset": int(preset)})
 
     # --- pairs vs keys ---
-    for logn in ([22, 24, 26] if on_tpu else [14]):
+    for logn in (([22, 24, 26] if on_tpu else [14])
+                 if "xla" in sections else []):
         n = 1 << logn
         res = timing.batch_timing(
             lambda c: xla_sort.sort_pairs_u32(c, c)[0], n,
@@ -85,7 +93,7 @@ def main():
         emit(f"pairs_2^{logn}", res["keys_per_sec"], n, {"engine": "xla"})
 
     # --- native engines vs oracle (TPU only: interpret mode is emulation) ---
-    for logn in ([20, 22, 24] if on_tpu else []):
+    for logn in ([20, 22, 24] if (on_tpu and "native" in sections) else []):
         n = 1 << logn
         from gpusorting_tpu.ops import bitonic
         res = timing.batch_timing(
@@ -96,7 +104,7 @@ def main():
 
     # fused radix-16 (OneSweep analog) + entropy point (pass/bucket skipping
     # should make E020 faster), 3-phase reduce-then-scan, and the FFX slot
-    if on_tpu:
+    if on_tpu and "native" in sections:
         from gpusorting_tpu.ops import radix16, rts as rts_mod
         for logn in (22, 24):
             n = 1 << logn
@@ -124,7 +132,8 @@ def main():
 
     # --- segmented sort sweep (fixed-length bins; Kobus-style) ---
     total = 1 << 22 if on_tpu else 1 << 14
-    for L in ([32, 256, 4096] if on_tpu else [32]):
+    for L in (([32, 256, 4096] if on_tpu else [32])
+              if "segsort" in sections else []):
         offs, S = prng.make_fixed_segments(total, L)
 
         def seg_fn(codes, offs=offs, S=S):
@@ -137,7 +146,7 @@ def main():
 
     # (u32, f64-as-dual-planes) pairs — the reference's 64-bit payload chart
     # (README.md:13-21 benches (u32,u32) AND (u32,f64))
-    for L in ([256] if on_tpu else [32]):
+    for L in (([256] if on_tpu else [32]) if "segsort" in sections else []):
         offs, S = prng.make_fixed_segments(total, L)
 
         def seg_wide_fn(codes, offs=offs, S=S):
@@ -153,7 +162,8 @@ def main():
     # through the two-window batched path (the reference's headline win
     # domain is maxlen < 256, README.md:13-21); >65536 exercises the
     # whole-buffer composite semantics
-    for max_len in ([16, 64, 256, 1024, 65536, 262144] if on_tpu else [64]):
+    for max_len in (([16, 64, 256, 1024, 65536, 262144] if on_tpu else [64])
+                    if "segsort" in sections else []):
         offs, S = prng.make_random_segments(total, max_len, seed=3)
         engine = ("windowed"
                   if splitsort._window_max_length(offs, total, int(S))

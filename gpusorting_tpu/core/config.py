@@ -228,8 +228,12 @@ class TuningParameters:
         (rows, 128) i32 fit the VMEM budget; rounded down to a power of two
         (the network needs pow2 tiles).
         """
+        # headroom factor 12 (was 10): at the 110MB budget every pow2 tile
+        # matches the round-1 sizes, but the compiler's scoped-vmem limit
+        # gains ~10% slack — the network 2^24 keys case measured a 103.89M
+        # stack request against the old 100M cap (borderline OOM)
         budget = self.vmem_limit_bytes
-        rows = max(8, budget // (num_ops * 128 * 4 * 10))
+        rows = max(8, budget // (num_ops * 128 * 4 * 12))
         return 1 << (rows.bit_length() - 1)
 
 
@@ -244,20 +248,20 @@ class TuningParameters:
 _TUNING_TABLE = {
     # generation -> (mode -> TuningParameters)
     "v4": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 1024),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 512),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 1024),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 512),
     },
     "v5e": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 2048),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 1024),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 2048),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
     },
     "v5p": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 2048),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 1024),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 2048),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
     },
     "v6e": {
-        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 100 << 20, 2048),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 100 << 20, 1024),
+        Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 2048),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
     },
 }
 _GENERIC_TUNING = {
