@@ -137,31 +137,34 @@ def _tile_hist4_kernel(ctrl_ref, x_ref, o_ref, *, tile_rows: int):
 
     Reference: DeviceRadixSort.hlsl `Upsweep` :39-171 — per-block digit
     counts written digit-major.  Here the transpose to digit-major happens
-    host-side on the tiny (T,16) table.
+    host-side on the tiny (T,16) table.  The output rides as ONE
+    whole-array block revisited every grid step (a (1,16) per-tile block
+    violates Mosaic's 8-sublane divisibility once T > 1).
     """
+    t = pl.program_id(0)
     x = x_ref[:]
     d = jax.lax.shift_right_logical(x, ctrl_ref[0]) & 15
     io16 = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 1), 1)
     oh = (d.reshape(tile_rows, 1, LANES) == io16).astype(jnp.int8)
     counts = jnp.sum(oh, axis=(0, 2), dtype=jnp.int32)      # (16,)
-    o_ref[0:1, :] = counts.reshape(1, 16)
+    o_ref[pl.ds(t, 1), :] = counts.reshape(1, 16)
 
 
 @functools.lru_cache(maxsize=16)
 def _build_tile_hist4(rows: int, tile_rows: int, interpret: bool):
     kern = functools.partial(_tile_hist4_kernel, tile_rows=tile_rows)
+    num_tiles = rows // tile_rows
 
     def call(ctrl, x):
         return pl.pallas_call(
             kern,
-            grid=(rows // tile_rows,),
+            grid=(num_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 16), lambda i: (i, 0)),
-            out_shape=jax.ShapeDtypeStruct((rows // tile_rows, 16),
-                                           jnp.int32),
+            out_specs=pl.BlockSpec((num_tiles, 16), lambda i: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((num_tiles, 16), jnp.int32),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_tuning().vmem_limit_bytes),
             interpret=interpret,
