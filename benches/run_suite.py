@@ -140,7 +140,10 @@ def main():
             k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
             return k
 
-        res = timing.batch_timing(seg_fn, total, batch=5, seed=10)
+        # short-L batched sorts are faster than the harness resolution at
+        # small batches (the generator loop dominates): batch way up
+        res = timing.batch_timing(seg_fn, total, batch=200, seed=10,
+                                  repeats=2)
         emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
              {"engine": "batched", "segments": int(S)})
 
