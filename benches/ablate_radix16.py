@@ -80,5 +80,5 @@ print(f"exact pairs-stable 2^20: {'OK' if pairs_ok else 'MISMATCH'}",
 
 timed_sort(x100, f"uniform 2^{LOG2N} tile512")
 timed_sort(x020, f"E020    2^{LOG2N} tile512")
-for tr in (1024, 2048):
+for tr in (256, 1024, 2048):
     timed_sort(x100, f"uniform 2^{LOG2N} tile{tr}", tile_rows=tr)
