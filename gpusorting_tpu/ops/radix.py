@@ -96,32 +96,6 @@ def sort_pairs(
     """
     kt = codec.key_type_of(keys)
     bits = codec.payload_to_bits(values)
-    if variant == "device_radix" and bits.dtype != jnp.uint64:
-        from . import rts
-
-        sc, sbits = rts.sort_pairs_rts(codec.encode_keys(keys), bits)
-    elif variant == "splitsweep" and bits.dtype != jnp.uint64:
-        from . import splitsweep
-
-        sc, sbits = splitsweep.sort_pairs_splitsweep(
-            codec.encode_keys(keys), bits)
-    elif (variant in ("ffx", "emulated_deadlocking")
-            and bits.dtype != jnp.uint64):
-        from . import radix16
-
-        if variant == "emulated_deadlocking":
-            segs = radix16.adversarial_segments(keys.shape[0])
-            sc, sbits = radix16.sort_pairs_radix16(
-                codec.encode_keys(keys), bits, segments=segs)
-        else:
-            sc, sbits = radix16.sort_pairs_radix16(
-                codec.encode_keys(keys), bits, tile_rows=256)
-        out_k = codec.decode_keys(sc, kt)
-        out_v = codec.bits_to_payload(sbits, values.dtype)
-        if order == Order.DESCENDING:
-            out_k = jnp.flip(out_k, axis=0)
-            out_v = jnp.flip(out_v, axis=0)
-        return out_k, out_v
     if bits.dtype == jnp.uint64:
         # 64-bit payloads ride as two u32 planes (no 64-bit VPU lanes on TPU).
         lo = (bits & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
@@ -129,6 +103,26 @@ def sort_pairs(
         sc, slo, shi = bitonic.sort_codes_stable_with(
             codec.encode_keys(keys), lo, hi)
         sbits = slo.astype(jnp.uint64) | (shi.astype(jnp.uint64) << jnp.uint64(32))
+    elif variant == "device_radix":
+        from . import rts
+
+        sc, sbits = rts.sort_pairs_rts(codec.encode_keys(keys), bits)
+    elif variant == "splitsweep":
+        from . import splitsweep
+
+        sc, sbits = splitsweep.sort_pairs_splitsweep(
+            codec.encode_keys(keys), bits)
+    elif variant == "emulated_deadlocking":
+        from . import radix16
+
+        segs = radix16.adversarial_segments(keys.shape[0])
+        sc, sbits = radix16.sort_pairs_radix16(
+            codec.encode_keys(keys), bits, segments=segs)
+    elif variant == "ffx":
+        from . import radix16
+
+        sc, sbits = radix16.sort_pairs_radix16(
+            codec.encode_keys(keys), bits, tile_rows=256)
     else:
         sc, sbits = bitonic.sort_codes_stable_with(codec.encode_keys(keys), bits)
     out_k = codec.decode_keys(sc, kt)

@@ -460,7 +460,7 @@ def _binning_kernel(sched_ref, ctrl_ref, *refs, tile_rows: int,
         jax.lax.fori_loop(0, NBUCKETS, flush, 0)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _build_pass(rows: int, tile_rows: int, num_ops: int,
                 interpret: bool = False, num_tiles: int | None = None,
                 resume: bool = False, do_flush: bool = True,
@@ -549,7 +549,7 @@ def _build_pass(rows: int, tile_rows: int, num_ops: int,
     return jax.jit(call)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _build_pass_with_skip(rows: int, tile_rows: int, num_ops: int,
                           interpret: bool):
     """Cached (pass | identity) conditional — one compile for all 8 passes.

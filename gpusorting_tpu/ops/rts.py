@@ -167,7 +167,7 @@ def _downsweep_kernel(sched_ref, ctrl_ref, table_ref, *refs, tile_rows: int,
                     rmw_or(o, hi >> 7, (hi >> 7) - lo_row, d)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=64)
 def _build_downsweep(rows: int, tile_rows: int, num_ops: int,
                      num_tiles: int, interpret: bool, first_chunk: bool):
     kern = functools.partial(

@@ -13,7 +13,7 @@ north-star design:
      scatter paths run at ~0.1 Gelem/s on TPU, probes/PROBES.md; the
      round-1 argsort+scatter packer was correctness-only)
   3. the (D, cap) send matrix rides `lax.all_to_all` over the mesh axis
-     (ICI).  With `cap_rows=None` (default) the capacity is computed EXACTLY
+     (ICI).  With `cap_elems=None` (default) the capacity is computed EXACTLY
      first (a tiny per-cell count matrix + host max), so overflow is
      structurally impossible; a fixed integer cap skips that sync and
      reports overflow, and `distributed_sort_gather` retries with a doubled
@@ -132,14 +132,15 @@ def distributed_sort(
     mesh: Mesh | None = None,
     axis: str = "x",
     oversample: int = 32,
-    cap_rows: int | None = None,
+    cap_elems: int | None = None,
 ):
     """Sort a globally sharded key (and optional payload) array.
 
     `keys` is 1-D with length divisible by the mesh size.  With
-    `cap_rows=None` the per-(src,dst) cell capacity is measured exactly
+    `cap_elems=None` the per-(src,dst) cell capacity is measured exactly
     before the exchange (one tiny collective + host scalar), so no element
-    can ever be dropped; an integer `cap_rows` skips that round trip and
+    can ever be dropped; an integer `cap_elems` (rounded up to a 128-lane
+    row multiple, matching the exact-cap path) skips that round trip and
     reports `overflow` instead (see distributed_sort_gather for the retry
     discipline).  Returns a dict; see module docstring for the output
     convention.
@@ -180,7 +181,7 @@ def distributed_sort(
     )(*args)
     sorted_ops, counts = p1[:n_sorted], p1[n_sorted]
 
-    if cap_rows is None:
+    if cap_elems is None:
         try:
             # exact capacity: overflow structurally impossible
             cell_max = int(np.asarray(jnp.max(counts)))
@@ -192,7 +193,7 @@ def distributed_sort(
             # hold at most the whole source shard)
             cap = max(128, -(-(n // n_dev) // 128) * 128)
     else:
-        cap = max(128, int(cap_rows))
+        cap = max(128, -(-int(cap_elems) // 128) * 128)
 
     def phase2(counts_l, *ops_l):
         out, count, ovf = _pack_and_exchange(
@@ -221,7 +222,7 @@ def distributed_sort(
 def distributed_sort_gather(keys, values=None, mesh=None, **kw):
     """Run distributed_sort and materialize the dense global result.
 
-    Never returns dropped data: if a fixed `cap_rows` overflows, the cap is
+    Never returns dropped data: if a fixed `cap_elems` overflows, the cap is
     doubled and the sort re-run (ending at the exact-cap mode).
     """
     attempts = 0
@@ -230,8 +231,8 @@ def distributed_sort_gather(keys, values=None, mesh=None, **kw):
         if int(np.asarray(res["overflow"])[0]) == 0:
             break
         attempts += 1
-        cap = kw.get("cap_rows")
-        kw["cap_rows"] = None if cap is None or attempts > 4 else 2 * cap
+        cap = kw.get("cap_elems")
+        kw["cap_elems"] = None if cap is None or attempts > 4 else 2 * cap
     codes = np.asarray(res["codes"])
     counts = np.asarray(res["counts"])
     cap = res["cap"]

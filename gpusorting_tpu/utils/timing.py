@@ -74,16 +74,20 @@ def batch_timing(
     _sync(loop_with())
     _sync(loop_without())
 
-    t0 = time.perf_counter()
-    _sync(loop_without())
-    t_gen = time.perf_counter() - t0
-
-    per_sorts = []
+    # interleave gen-only and gen+sort chains per repeat so generator-time
+    # noise/drift shows up in the reported spread instead of biasing every
+    # repeat identically (advisor r2)
+    per_sorts, gen_times, wall0 = [], [], time.perf_counter()
     for _ in range(max(1, repeats)):
+        t0 = time.perf_counter()
+        _sync(loop_without())
+        t_gen = time.perf_counter() - t0
         t0 = time.perf_counter()
         _sync(loop_with())
         t_with = time.perf_counter() - t0
+        gen_times.append(t_gen)
         per_sorts.append(max(t_with - t_gen, 1e-9) / batch)
+    wall = time.perf_counter() - wall0
 
     per_sort = float(np.mean(per_sorts))
     return {
@@ -94,6 +98,6 @@ def batch_timing(
         "spread_min_s": float(np.min(per_sorts)),
         "spread_max_s": float(np.max(per_sorts)),
         "repeats": max(1, repeats),
-        "gen_seconds": t_gen,
-        "total_seconds": float(np.sum(per_sorts)) * batch,
+        "gen_seconds": float(np.mean(gen_times)),
+        "total_seconds": wall,  # measured wall time of the timed section
     }

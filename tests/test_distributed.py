@@ -108,10 +108,10 @@ def test_distributed_overflow_injection_and_recovery(cpu_mesh):
     cap until nothing is dropped (VERDICT round-1: overflow recovery)."""
     n = 1 << 12
     keys = jnp.arange(n, dtype=jnp.uint32)  # pre-sorted: worst-case cells
-    res = dist_sort.distributed_sort(keys, mesh=cpu_mesh, cap_rows=128)
+    res = dist_sort.distributed_sort(keys, mesh=cpu_mesh, cap_elems=128)
     assert int(np.asarray(res["overflow"])[0]) > 0  # injection detected
     out, overflow = dist_sort.distributed_sort_gather(
-        keys, mesh=cpu_mesh, cap_rows=128)  # retry path
+        keys, mesh=cpu_mesh, cap_elems=128)  # retry path
     assert overflow == 0
     np.testing.assert_array_equal(np.asarray(out), np.asarray(keys))
 

@@ -79,3 +79,26 @@ def test_device_radix_class_routes_to_rts():
     keys = prng.hybrid_taus_bits(20_000, seed=12)
     out = np.asarray(s.sort(keys))
     np.testing.assert_array_equal(out, np.sort(np.asarray(keys)))
+
+
+def test_pair_variant_dispatch_routes_native(monkeypatch):
+    """sort_pairs variant='device_radix'/'splitsweep' must NOT fall through
+    to the bitonic epilogue (advisor r2: the fall-through ran both engines
+    and returned bitonic's output, making dispatch coverage illusory)."""
+    import jax.numpy as jnp
+
+    from gpusorting_tpu.ops import bitonic as bitonic_mod
+    from gpusorting_tpu.ops import radix as radix_mod
+
+    def boom(*a, **k):
+        raise AssertionError("bitonic fallback reached for a native variant")
+
+    monkeypatch.setattr(bitonic_mod, "sort_codes_stable_with", boom)
+    keys = prng.hybrid_taus_bits(20_000, seed=3) & jnp.uint32(0xFF)
+    vals = jnp.arange(20_000, dtype=jnp.uint32)
+    for variant in ("device_radix", "splitsweep"):
+        sk, sv = radix_mod.sort_pairs(keys, vals, variant=variant)
+        import jax
+        rk, rv = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
+        np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+        np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
