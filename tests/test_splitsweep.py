@@ -97,3 +97,26 @@ def test_variant_dispatch():
     rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
+
+
+def test_overflow_falls_back_exact_under_jit(monkeypatch):
+    """A pathological splitter sample (all elements in one bucket) must
+    produce EXACT output under jit via the in-graph fallback, not silently
+    truncated buckets (round-2 behavior)."""
+    def bad_splitters(codes, pos, oversample):
+        z = jnp.zeros((splitsweep.NBUCKETS - 1,), codes.dtype)
+        return z, jnp.zeros((splitsweep.NBUCKETS - 1,), jnp.uint32)
+
+    monkeypatch.setattr(splitsweep, "_sample_splitters", bad_splitters)
+    x = prng.hybrid_taus_bits(60_000, seed=21)
+    out = np.asarray(jax.jit(
+        lambda a: splitsweep.sort_codes_splitsweep(a, tile_rows=128))(x))
+    np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
+
+    v = jnp.arange(60_000, dtype=jnp.uint32)
+    k8 = x & jnp.uint32(0xFF)
+    sk, sv = jax.jit(lambda a, b: splitsweep.sort_pairs_splitsweep(
+        a, b, tile_rows=128))(k8, v)
+    rk, rv = jax.lax.sort((k8, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
