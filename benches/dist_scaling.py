@@ -71,6 +71,28 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # exchange pipelining methodology: chunked vs monolithic all_to_all
+    # (on this shared-core CPU mesh the delta is schedule noise; on a real
+    # ICI mesh the chunked form lets XLA's async collectives overlap
+    # transfers with receive-side masking — the overlap factor to report
+    # there is t_mono / t_chunked)
+    for chunks, tag in ((1, "mono"), (4, "chunked4")):
+        @jax.jit
+        def run_c(k, v, mesh=mesh, chunks=chunks):
+            res = dist_sort.distributed_sort(
+                k, v, mesh=mesh, exchange_chunks=chunks)
+            return res["codes"], res["overflow"]
+
+        jax.block_until_ready(run_c(keys, vals)[0])  # compile
+        t0 = time.perf_counter()
+        for _ in range(3):
+            jax.block_until_ready(run_c(keys, vals)[0])
+        dt = (time.perf_counter() - t0) / 3
+        row = {"bench": f"dist_exchange_{tag}_D8", "seconds": dt,
+               "chunks": chunks}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
     # correctness of the largest run
     (out_k, out_v), overflow = dist_sort.distributed_sort_gather(
         keys, vals, mesh=mesh)

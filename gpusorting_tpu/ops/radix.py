@@ -58,12 +58,13 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
 
         sc = rts.sort_codes_rts(codes)
     elif variant == "ffx":
-        # FFX ParallelSort analog: the fused 4-bit x 8-pass engine at the
-        # reference's FIXED tuning discipline (FFXParallelSort.cpp:28-43 —
-        # no per-device tuning; here a fixed small tile)
-        from . import radix16
+        # the REAL FFX pipeline: Count -> CountReduce -> Scan -> ScanAdd ->
+        # Scatter, two-level scan hierarchy at fixed tuning (ops/ffx.py;
+        # FFXParallelSort.cpp:242-328) — structurally distinct from both
+        # the fused (radix16) and 3-phase (rts) engines
+        from . import ffx
 
-        sc = radix16.sort_codes_radix16(codes, tile_rows=256)
+        sc = ffx.sort_codes_ffx(codes)
     elif variant == "emulated_deadlocking":
         # adversarial-scheduling analog: the same radix pipeline executed as
         # segmented tile ranges with explicit carry handoff (radix16 docs)
@@ -119,10 +120,9 @@ def sort_pairs(
         sc, sbits = radix16.sort_pairs_radix16(
             codec.encode_keys(keys), bits, segments=segs)
     elif variant == "ffx":
-        from . import radix16
+        from . import ffx
 
-        sc, sbits = radix16.sort_pairs_radix16(
-            codec.encode_keys(keys), bits, tile_rows=256)
+        sc, sbits = ffx.sort_pairs_ffx(codec.encode_keys(keys), bits)
     else:
         sc, sbits = bitonic.sort_codes_stable_with(codec.encode_keys(keys), bits)
     out_k = codec.decode_keys(sc, kt)

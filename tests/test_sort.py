@@ -159,3 +159,21 @@ def test_boundary_window_exhaustive():
     s = gst.DeviceRadixSort(SortConfig(backend=Backend.XLA))
     rep = s.test_all(boundary_window=2048, large_sizes=(), boundary_stride=1)
     assert rep.all_passed, str(rep)
+
+
+def test_ffx_pipeline_exact():
+    """The real 5-stage FFX pipeline (Count/CountReduce/Scan/ScanAdd/
+    Scatter, ops/ffx.py) is bit-exact on keys and stable pairs."""
+    import jax
+
+    from gpusorting_tpu.ops import ffx
+
+    x = prng.hybrid_taus_bits(70_000, seed=13)
+    np.testing.assert_array_equal(
+        np.asarray(ffx.sort_codes_ffx(x)), np.sort(np.asarray(x)))
+    k = x[:40_000] & jnp.uint32(0xFFF)
+    v = jnp.arange(40_000, dtype=jnp.uint32)
+    sk, sv = ffx.sort_pairs_ffx(k, v)
+    rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
