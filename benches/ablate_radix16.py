@@ -82,3 +82,32 @@ timed_sort(x100, f"uniform 2^{LOG2N} tile512")
 timed_sort(x020, f"E020    2^{LOG2N} tile512")
 for tr in (256, 1024, 2048):
     timed_sort(x100, f"uniform 2^{LOG2N} tile{tr}", tile_rows=tr)
+
+
+# --- pairs-mode tile sweep (run with --pairs; flips the tuner's v5e PAIRS
+# measured flag once recorded in config.py / RESULTS.md) ---
+if "--pairs" in sys.argv:
+    NP_ = 1 << 22  # pairs carry 2x accumulators; sweep at 2^22
+    kx = prng.make_test_keys(NP_, 5, jnp.uint32, prng.EntropyPreset.E100)
+    vx = jnp.arange(NP_, dtype=jnp.uint32)
+
+    def timed_pairs(tile_rows):
+        fn = jax.jit(lambda k, v: radix16.sort_pairs_radix16(
+            k, v, tile_rows=tile_rows)[0][:1])
+
+        @jax.jit
+        def chain(k, v):
+            def body(i, a):
+                return a ^ fn(k ^ a, v)[0]
+            return jax.lax.fori_loop(0, ITERS, body, jnp.uint32(0))
+
+        float(chain(kx, vx))
+        t0 = time.perf_counter()
+        float(chain(kx, vx))
+        dt = (time.perf_counter() - t0 - OVERHEAD) / ITERS
+        print(f"pairs tile {tile_rows}: {dt*1e3:.2f} ms/sort = "
+              f"{NP_/dt/1e9:.3f} Gpairs/s", flush=True)
+        return dt
+
+    for tr in (256, 512, 1024, 2048):
+        timed_pairs(tr)

@@ -1,61 +1,280 @@
-"""Mergesweep — batched-segment sort + Batcher merge tail (flagship engine).
+"""Mergesweep — mapped-segment sort + fused Batcher merge tail (flagship).
 
-Design (round 3; see docs/ROADMAP_perf.md):  on this part XLA's flat sort
-rate decays log-quadratically with n (2.65 Gkeys/s at 2^18 down to 0.575 at
-2^28) while a native compare-exchange stage costs a size-independent
-~4 ns/Melem.  Every partition-based composition measured in rounds 1-2 pays
-a data-dependent-permutation toll (>=30 VPU-ops/elem/bucket) that no Mosaic
-feature on this backend removes (probes/probe13_bitcast.py).  The winning
-structure avoids permutation entirely:
+Round-3 measurements that shape this design (probes/PROBES.md round 3,
+benches/RESULTS.md):
 
-  1. pad to a power of two N, view as (K, L) segments (L a power of two)
-  2. ONE batched `jax.lax.sort` along the minor axis — XLA runs at its
-     small-size sweet-spot rate for every segment
-  3. reverse odd segments (so L-blocks alternate ascending/descending —
-     precisely the invariant the standard bitonic network guarantees after
-     its k=L pass)
-  4. run ONLY the remaining merge passes k = 2L .. N of the Batcher network
-     (ops.bitonic's fused local passes + global stages, unchanged)
+  - XLA's flat sort is VMEM-resident up to 2^24 (13 ms, 1.29 Gkeys/s) and
+    decays to 0.575 G at 2^28 — but `lax.map` over 2^24 chunks keeps the
+    per-chunk rate at ANY total size (16 x 2^24 = 208 ms at 2^28).  The
+    batched `dimension=1` form does NOT (390 ms) — XLA sorts it at
+    near-flat-rate.
+  - A compare-exchange stage floor is ~1.1 ms per 2^28 (248 Gcmpex/s);
+    the round-2 local-stages kernel ran 6x off that floor (per-stage
+    lax.cond between lane/row paths + per-stage direction-bit rebuilds).
 
-This is the TPU analog of the reference's OneSweep role: the engine AUTO
-ships for the headline benchmark (OneSweep.cu:164-344).  Like the reference
-leans on CUB block primitives inside its kernels, this leans on XLA's sort
-for the in-segment phase and spends native kernels only where XLA decays.
+Structure for N = 2^p elements:
 
-Properties: exact for any input distribution (no splitters, no slack, no
-overflow paths — merging is oblivious), jit-safe by construction, stable
-with an index-tiebreak operand, pairs ride along.  Cost model: batched
-phase at XLA's rate(L) + merge tail of sum_{m=log2(2L)}^{log2(N)} m
-compare-exchange stages at ~1 ms per 2^28-stage.
+  1. pad to N; view as K = N/L segments of L = 2^24 (VMEM-residency edge)
+  2. odd segments get bit-flipped keys (sorting ~x ascending == sorting x
+     descending — avoids materializing a reversal, which costs 17.6 ms/2^26
+     through XLA's rev)
+  3. `lax.map` of flat XLA sorts over the K segments, then un-flip
+  4. merge passes k = 2L..N of the standard Batcher network, each pass:
+       - ONE fused hyper-stage kernel for all strides j >= tile (elements
+         re-viewed as (H, W, lo, 128) so the W axis carries the high
+         stride bits — one HBM round-trip for up to log2(W) stages)
+       - ONE fused tail kernel for all strides j < tile (row-stage loop +
+         lane-stage loop, direction bits hoisted; no per-stage cond)
 
-The segment length trades the two phases: bigger L = fewer merge stages
-but a slower batched rate.  `_default_seg_elems` picks from the measured
-v5e sweep (benches/RESULTS.md round 3).
+Properties: exact for any distribution (oblivious — no splitters, no
+slack, no overflow), jit-safe, stable with an index tiebreak, pairs ride
+along.  This engine is the TPU analog of the reference's OneSweep role
+(OneSweep.cu:164-344): the one that wins the headline benchmark; like the
+reference leans on CUB block primitives, it leans on XLA's sort at the
+size where XLA is optimal and spends native kernels only on the merge.
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from .bitonic import (
     LANES,
     _bias_u32_to_i32,
     _build_global_stage,
-    _build_local_pass,
     _is_tpu,
-    _powers_desc,
+    _lex_lt,
     _tuning,
     _unbias_i32_to_u32,
 )
 
+# The fused hyper-stage kernel (one HBM trip for all high strides of a
+# pass) SIGSEGVs this Mosaic at production shapes (W=2, lo_tile=8192 —
+# probes round 3); high strides fall back to per-stage global kernels
+# until a newer backend lands.  GST_MERGESWEEP_HYPER=1 re-enables it.
+import os as _os
 
-def _default_seg_elems(n: int) -> int:
-    # v5e hardware sweep (round 3): 2^22 segments won at 2^26-2^28
-    # (batched-rate x stage-count tradeoff); below 2^22 the engine is a
-    # single lax.sort call anyway (K=1).
-    return 1 << 22
+_USE_HYPER = _os.environ.get("GST_MERGESWEEP_HYPER", "0") == "1"
+
+# Segment length for the mapped phase-1 sorts: 2^24 i32 = 64 MB is the
+# measured VMEM-residency edge of XLA's flat sort on v5e (13 ms/segment).
+_SEG_ELEMS = 1 << 24
+
+
+def _tile_rows_for(num_ops: int, R: int) -> int:
+    budget = _tuning().vmem_limit_bytes
+    rows = max(8, budget // (num_ops * LANES * 4 * 3))  # in + out + slack
+    rows = 1 << (rows.bit_length() - 1)
+    # blocks above 16384 rows crash this Mosaic (SIGSEGV in the remote AOT
+    # compiler at 65536-row BlockSpecs — round-3 sweep); cap matches the
+    # round-2 network tile ceiling
+    return min(rows, 16384, R)
+
+
+def _merge_tail_kernel(ctrl_ref, *refs, num_ops: int, num_keys: int,
+                       tile_rows: int, num_row_stages: int,
+                       num_lane_stages: int):
+    """All strides j < tile_elems of one merge pass k, fused.
+
+    ctrl = [k_row (k//128), jr_top (top row stride), k_lane_mask].
+    Row stages run jr = jr_top >> s; lane stages run j = 64 >> s.  The
+    k-direction bit is hoisted out of both loops (constant per pass), and
+    there is no per-stage branch — the round-2 kernel's 6x-off-floor cost
+    was the per-stage lane/row cond + direction-bit rebuilds.
+    """
+    in_refs = refs[:num_ops]
+    out_refs = refs[num_ops:]
+    row_base = pl.program_id(0) * tile_rows
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 1)
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, LANES), 0)
+    k_row = ctrl_ref[0]
+    jr_top = ctrl_ref[1]
+    # direction: want_min = (jbit == kbit); kbit constant across the pass
+    kbit = ((lrow + row_base) & k_row) != 0
+
+    ops = tuple(r[:] for r in in_refs)
+
+    def row_body(s, ops):
+        jr = jax.lax.shift_right_logical(jr_top, s)
+        rbit = (lrow & jr) != 0
+        want_min = rbit == kbit
+        peers = []
+        for y in ops:
+            up = pltpu.roll(y, -jr, axis=0)   # y[row + jr]
+            dn = pltpu.roll(y, jr, axis=0)    # y[row - jr]
+            peers.append(jnp.where(rbit, dn, up))
+        self_lt = _lex_lt(ops, peers, num_keys)
+        take_self = self_lt == want_min
+        return tuple(jnp.where(take_self, y, p)
+                     for y, p in zip(ops, peers))
+
+    ops = jax.lax.fori_loop(0, num_row_stages, row_body, ops)
+
+    def lane_body(s, ops):
+        j = jax.lax.shift_right_logical(jnp.int32(64), s)
+        idx = lane ^ j
+        want_min = ((lane & j) != 0) == kbit
+        peers = tuple(jnp.take_along_axis(y, idx, axis=1) for y in ops)
+        self_lt = _lex_lt(ops, peers, num_keys)
+        take_self = self_lt == want_min
+        return tuple(jnp.where(take_self, y, p)
+                     for y, p in zip(ops, peers))
+
+    ops = jax.lax.fori_loop(0, num_lane_stages, lane_body, ops)
+    for o_ref, y in zip(out_refs, ops):
+        o_ref[:] = y
+
+
+@functools.lru_cache(maxsize=64)
+def _build_merge_tail(num_ops, num_keys, tile_rows, num_row_stages,
+                      num_lane_stages, grid, interpret):
+    kern = functools.partial(
+        _merge_tail_kernel, num_ops=num_ops, num_keys=num_keys,
+        tile_rows=tile_rows, num_row_stages=num_row_stages,
+        num_lane_stages=num_lane_stages)
+    blk = lambda: pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+
+    def call(ctrl, *args):
+        return pl.pallas_call(
+            kern,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+                blk() for _ in range(num_ops)],
+            out_specs=tuple(blk() for _ in range(num_ops)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
+                for _ in range(num_ops)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+            interpret=interpret,
+        )(ctrl, *args)
+    return call
+
+
+def _hyper_stage_kernel(ctrl_ref, *refs, num_ops: int, num_keys: int,
+                        W: int, lo_tile: int, lo_log: int, num_stages: int):
+    """All strides j >= tile_elems of one merge pass, in one HBM trip.
+
+    The caller views the row space as (H, W, mid, lo_tile, LANES) where the
+    W axis spans exactly the row-stride bits of this pass's high stages;
+    each program loads a (1, W, 1, lo_tile, LANES) block, so stage s pairs
+    rows at distance (W >> (s+1)) * lo_tile inside the block.
+
+    ctrl = [k_row, hi_row_base] — hi_row_base is this program's global row
+    of block element 0 (for the k-direction bit, constant per program).
+    """
+    in_refs = refs[:num_ops]
+    out_refs = refs[num_ops:]
+    rows = W * lo_tile
+    lrow = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+    k_row = ctrl_ref[0]
+    h = pl.program_id(0)
+    c = pl.program_id(1)
+    # global row of block row r: h*(W*stride_rows) + w*stride_rows +
+    # c*lo_tile + i, where stride_rows = the LOW stage's jr = mid*lo_tile.
+    # Only bits >= the top stride matter for kbit (k_row > all w bits).
+    hi_base = h * (W * ctrl_ref[1]) + c * lo_tile
+    kbit = ((hi_base + 0 * lrow) & k_row) != 0  # constant (broadcast) plane
+    w_of = jax.lax.shift_right_logical(lrow, lo_log)
+
+    ops = tuple(r[:].reshape(rows, LANES) for r in in_refs)
+
+    def body(s, ops):
+        wj = jax.lax.shift_right_logical(jnp.int32(W), s + 1)  # partner w bit
+        jr = wj * lo_tile
+        rbit = (w_of & wj) != 0
+        want_min = rbit == kbit
+        peers = []
+        for y in ops:
+            up = pltpu.roll(y, -jr, axis=0)
+            dn = pltpu.roll(y, jr, axis=0)
+            peers.append(jnp.where(rbit, dn, up))
+        self_lt = _lex_lt(ops, peers, num_keys)
+        take_self = self_lt == want_min
+        return tuple(jnp.where(take_self, y, p)
+                     for y, p in zip(ops, peers))
+
+    ops = jax.lax.fori_loop(0, num_stages, body, ops)
+    for o_ref, y in zip(out_refs, ops):
+        o_ref[:] = y.reshape(1, W, 1, lo_tile, LANES)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_hyper_stage(num_ops, num_keys, W, lo_tile, num_stages, H, mid,
+                       interpret):
+    lo_log = lo_tile.bit_length() - 1
+    kern = functools.partial(
+        _hyper_stage_kernel, num_ops=num_ops, num_keys=num_keys, W=W,
+        lo_tile=lo_tile, lo_log=lo_log, num_stages=num_stages)
+    blk = lambda: pl.BlockSpec((1, W, 1, lo_tile, LANES),
+                               lambda h, c: (h, 0, c, 0, 0))
+
+    def call(ctrl, *args):
+        return pl.pallas_call(
+            kern,
+            grid=(H, mid),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [
+                blk() for _ in range(num_ops)],
+            out_specs=tuple(blk() for _ in range(num_ops)),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((H, W, mid, lo_tile, LANES), jnp.int32)
+                for _ in range(num_ops)),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+            interpret=interpret,
+        )(ctrl, *args)
+    return call
+
+
+def _run_merge_pass(ops, k, R, tile_rows, num_ops, num_keys, interpret):
+    """One merge pass (all strides k/2 .. 1) on (R, LANES) i32 operands."""
+    tile_elems = tile_rows * LANES
+    grid = R // tile_rows
+    k_row = k // LANES
+
+    # high strides j = k/2 .. tile_elems: per-stage global kernels (the
+    # fused hyper path crashes this Mosaic — see _USE_HYPER note)
+    if k > tile_elems and not _USE_HYPER:
+        j = k // 2
+        while j >= tile_elems:
+            gcall = _build_global_stage(
+                num_ops, num_keys, tile_rows, grid, j // tile_elems,
+                interpret)
+            ops = tuple(gcall(jnp.asarray([j, k], jnp.int32), *ops))
+            j //= 2
+    elif k > tile_elems:
+        num_hi = (k // (2 * tile_elems)).bit_length()
+        W = 1 << num_hi
+        stride_rows = tile_rows            # lowest high stride, in rows
+        span = W * stride_rows             # rows spanned by the W axis
+        H = R // span
+        # split stride_rows into (mid, lo_tile) to bound VMEM: block rows
+        # = W * lo_tile
+        max_rows = _tile_rows_for(num_ops, R)
+        lo_tile = max(8, min(stride_rows, max_rows // W))
+        mid = stride_rows // lo_tile
+        hyper = _build_hyper_stage(num_ops, num_keys, W, lo_tile, num_hi,
+                                   H, mid, interpret)
+        ctrl = jnp.asarray([k_row, stride_rows], jnp.int32)
+        shaped = tuple(y.reshape(H, W, mid, lo_tile, LANES) for y in ops)
+        out = hyper(ctrl, *shaped)
+        ops = tuple(y.reshape(R, LANES) for y in out)
+
+    # low strides j < min(k, tile_elems): one fused tail call
+    top = min(k, tile_elems)
+    jr_top = max(1, (top // 2) // LANES)
+    num_row_stages = jr_top.bit_length() if top > LANES else 0
+    num_lane_stages = 7  # 64..1 (LANES=128)
+    tail = _build_merge_tail(num_ops, num_keys, tile_rows, num_row_stages,
+                             num_lane_stages, grid, interpret)
+    ctrl = jnp.asarray([k_row, jr_top, 0], jnp.int32)
+    return tuple(tail(ctrl, *ops))
 
 
 def merge_sort_network_i32(
@@ -75,10 +294,12 @@ def merge_sort_network_i32(
     n = operands[0].shape[0]
     num_ops = len(operands)
     N = max(1024, 1 << (n - 1).bit_length())
-    L = seg_elems or _default_seg_elems(n)
+    L = seg_elems or _SEG_ELEMS
     if L & (L - 1):
         raise ValueError(f"seg_elems must be a power of two, got {L}")
     L = min(L, N)
+    if L < 1024:
+        raise ValueError(f"seg_elems must be >= 1024, got {L}")
     K = N // L
     R = N // LANES
 
@@ -88,43 +309,36 @@ def merge_sort_network_i32(
         if pad:
             fill = jnp.full((pad,), jnp.iinfo(jnp.int32).max, jnp.int32)
             x = jnp.concatenate([x, fill])
-        padded.append(x.reshape(K, L))
+        padded.append(x)
 
-    # --- phase 1: one batched minor-axis sort over all K segments ---
-    ops2 = jax.lax.sort(tuple(padded), num_keys=num_keys, is_stable=False,
-                        dimension=1)
     if K == 1:
-        return tuple(y.reshape(N)[:n] for y in ops2)
+        out = jax.lax.sort(tuple(padded), num_keys=num_keys,
+                           is_stable=False)
+        return tuple(y[:n] for y in out)
 
-    # odd segments reversed: after the standard network's k=L pass, block m
-    # is ascending iff bit log2(L) of its base index is 0 — i.e. even m
-    odd = (jnp.arange(K, dtype=jnp.int32) & 1)[:, None] != 0
-    ops2 = tuple(jnp.where(odd, jnp.flip(y, axis=1), y) for y in ops2)
-    ops = tuple(y.reshape(R, LANES) for y in ops2)
+    # --- phase 1: mapped flat sorts; odd segments sort descending via the
+    # bit-flip trick (sorting ~x ascending == x descending; applied to ALL
+    # key operands so lexicographic order flips as a whole) ---
+    flip = ((jax.lax.iota(jnp.int32, N) >> (L.bit_length() - 1)) & 1) != 0
+    prep = [jnp.where(flip, ~y, y) if i < num_keys else y
+            for i, y in enumerate(padded)]
+    stacked = tuple(y.reshape(K, L) for y in prep)
 
-    # --- phase 2: merge passes k = 2L .. N of the Batcher network ---
-    tile_rows = min(_tuning().network_tile_rows(num_ops), R)
-    tile_elems = tile_rows * LANES
-    grid = R // tile_rows
+    def seg_sort(args):
+        return jax.lax.sort(args, num_keys=num_keys, is_stable=False)
 
+    res = jax.lax.map(seg_sort, stacked)
+    flat = [y.reshape(N) for y in (res if isinstance(res, tuple) else (res,))]
+    ops = tuple(
+        (jnp.where(flip, ~y, y) if i < num_keys else y).reshape(R, LANES)
+        for i, y in enumerate(flat))
+
+    # --- phase 2: merge passes k = 2L .. N ---
+    tile_rows = _tile_rows_for(num_ops, R)
     k = L * 2
     while k <= N:
-        j = k // 2
-        while j >= tile_elems:
-            gcall = _build_global_stage(
-                num_ops, num_keys, tile_rows, grid, j // tile_elems,
-                interpret)
-            ops = tuple(gcall(jnp.asarray([j, k], jnp.int32), *ops))
-            j //= 2
-        # all strides below the tile run as one fused pass; with the default
-        # L >= tile_elems every pass shares one compiled tail (stage count
-        # identical; the (j, k) schedule is a runtime SMEM argument)
-        js = _powers_desc(min(k // 2, tile_elems // 2))
-        tail_arr = jnp.asarray(
-            np.array([(jj, k) for jj in js], np.int32).reshape(-1, 2))
-        tail_pass = _build_local_pass(
-            num_ops, num_keys, tile_rows, len(js), grid, interpret)
-        ops = tuple(tail_pass(tail_arr, *ops))
+        ops = _run_merge_pass(ops, k, R, tile_rows, num_ops, num_keys,
+                              interpret)
         k *= 2
 
     return tuple(y.reshape(N)[:n] for y in ops)
