@@ -5,11 +5,14 @@ Variant map (reference README.md:5-15 families -> engines):
       skew-immune default of the PALLAS backend (will switch to a radix
       engine once one beats XLA at the flagship size)
   "device_radix"             -> 3-phase reduce-then-scan (`rts.py`)
-  "ffx"                      -> fused radix16 at fixed tuning (`radix16.py`)
+  "ffx"                      -> 5-stage Count/Reduce/Scan/ScanAdd/Scatter
+                                pipeline at fixed tuning (`ffx.py`)
   "emulated_deadlocking"     -> radix16 as chained tile-range segments with
                                 explicit carry handoff (fault injection)
   "splitsweep"               -> splitter-partition + sub-sort hybrid
                                 (`splitsweep.py`)
+  "mergesweep"               -> mapped-segment sort + Batcher merge tail
+                                (`mergesweep.py`, round 3)
 
 All engines sort the same u32 codes and are bit-exact with the XLA oracle,
 including stable pairs.  Round-2 measurements and the reasons AUTO still
@@ -28,16 +31,30 @@ from . import bitonic, xla_sort
 def is_native() -> bool:
     """True when the AUTO backend would run sorts in native Pallas kernels.
 
-    Round-2 hardware status (v5e, 2^24 keys): XLA flat 17.8 ms; native
-    engines — fused radix16 97.8 ms (tile 2048, best tuned), 3-phase rts
-    similar, splitsweep hybrid 34.1 ms.  At 2^28 XLA decays to 467 ms but
-    every native composition still lands at 600 ms+ (the per-bucket
-    placement work is the measured wall: rotations ~1 ms/pass + bf16 byte
-    planes ~8 ms/pass at 2^24, and every cheaper variant either crashes
-    this Mosaic (f32 matmuls), de-pipelines (per-block conditionals), or
-    is neutral (fused wide matmuls) — probes/PROBES.md).  AUTO therefore
-    still resolves to XLA; flipping this bool is gated on a native engine
-    actually beating the XLA path at 2^28.
+    Round-3 hardware status (v5e): AUTO still resolves to XLA, now with a
+    measured CONVERGENCE argument rather than an open gap
+    (probes/PROBES.md round 3, benches/RESULTS.md):
+
+    - XLA's flat 2^28 sort (468 ms) already implements the optimal
+      structure for this part — VMEM-resident 2^24 chunk sorts (13 ms
+      each) + bitonic merge passes — at per-stage kernel rates ~2-3x
+      better than any Pallas comparator stage here can reach (the roll-mix
+      VPU floor: a lex compare-exchange is ~8-12 ops/elem at ~1000 Gop/s).
+      The round-3 mergesweep engine rebuilds that structure natively
+      (mapped phase 1 at 208 ms + optimized 2x-faster merge tails) and
+      lands at 743 ms: every feasible hybrid converges to >= XLA.
+    - Radix/distribution passes need a data-dependent permutation whose
+      measured floor is >=30 VPU-ops/elem/bucket; probe13 re-probed every
+      Mosaic escape hatch (i8 bitcast planes: interleaved layout kills
+      free extraction; i16/i32 matmuls, sub-row DMA: still crash) — a
+      B=16 partition cannot go below ~6 ms/2^24-equiv, so one/two-level
+      splitter or MSD compositions land 470-620 ms at 2^28.
+    - XLA scatter/gather run at 0.11/0.14 Gelem/s (unusable), closing
+      every counting-sort scheme.
+
+    Flipping this bool is gated on hardware/backend changes (working
+    sub-row DMA, 16-bit matmul operands, or a SparseCore gather), not on
+    further engine work this backend can express.
     """
     return False
 
@@ -76,6 +93,10 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
         from . import splitsweep
 
         sc = splitsweep.sort_codes_splitsweep(codes)
+    elif variant == "mergesweep":
+        from . import mergesweep
+
+        sc = mergesweep.sort_codes(codes)
     else:
         sc = bitonic.sort_codes(codes)
     out = codec.decode_keys(sc, kt)
@@ -112,6 +133,11 @@ def sort_pairs(
         from . import splitsweep
 
         sc, sbits = splitsweep.sort_pairs_splitsweep(
+            codec.encode_keys(keys), bits)
+    elif variant == "mergesweep":
+        from . import mergesweep
+
+        sc, sbits = mergesweep.sort_codes_stable_with(
             codec.encode_keys(keys), bits)
     elif variant == "emulated_deadlocking":
         from . import radix16
