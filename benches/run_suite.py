@@ -165,12 +165,14 @@ def main():
     # through the two-window batched path (the reference's headline win
     # domain is maxlen < 256, README.md:13-21); >65536 exercises the
     # whole-buffer composite semantics
-    for max_len in (([16, 64, 256, 1024, 65536, 262144] if on_tpu else [64])
+    for max_len in (([16, 64, 256, 1024, 4096, 8192, 16384, 65536, 262144]
+                     if on_tpu else [64])
                     if "segsort" in sections else []):
         offs, S = prng.make_random_segments(total, max_len, seed=3)
         engine = ("windowed"
-                  if splitsort._window_max_length(offs, total, int(S))
-                  is not None else "composite")
+                  if splitsort._window_dispatch(offs, total, int(S))
+                  is not None and max_len <= splitsort._WINDOW_MAX_KEYS
+                  else "composite")
 
         def seg_rand_fn(codes, offs=offs, S=S):
             k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)

@@ -84,28 +84,36 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     """
     k2 = codes.reshape(seg_count, L)
     if payload_bits is None:
-        # keys-only: unstable == stable on bare codes, and 2x faster on TPU
-        (sk,) = jax.lax.sort((k2,), num_keys=1, is_stable=False, dimension=1)
+        # keys-only on bare codes: the all-keys invariant holds
+        (sk,) = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
         return sk.reshape(-1), None
     v2 = payload_bits.reshape(seg_count, L)
     sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True, dimension=1)
     return sk.reshape(-1), sv.reshape(-1)
 
 
-# Random-length fast path: largest window the two-pass trick should use
-# before falling back to the composite sort.  The batched minor-axis sort
-# rate decays with L (probes/PROBES.md: 21 Gelem/s at L<=256 down to 4.2 G
-# at L=4096); beyond this cap two window passes cost more than one
-# composite sort.
-_WINDOW_CAP = 4096
+# Random-length fast path: largest max segment length the two-pass window
+# trick serves, by mode.  Round-3 hardware sweep at 2^22 total
+# (benches/RESULTS.md): the window-pass rate decays gently with L (no
+# cliff beyond 4096 — the round-2 cap at 2048 was an unmeasured
+# extrapolation), so windows beat the ~0.5 G composite up to:
+#   keys-only (2-op unstable / 1-op fused): maxlen 32768 (0.7-1.9 G)
+#   pairs, bounded-bits fused (2-op stable): maxlen 32768 (0.56-1.6 G)
+#   pairs, full 32-bit keys (3-op stable):   maxlen 16384 (0.58-1.0 G)
+_WINDOW_MAX_KEYS = 32768
+_WINDOW_MAX_FUSED = 32768
+_WINDOW_MAX_PAIRS = 16384
 
 
-def _window_max_length(seg_offsets, total: int, seg_count: int):
-    """Max segment length if the windowed path applies, else None.
+def _window_dispatch(seg_offsets, total: int, seg_count: int):
+    """(max_len, sid_bits) if the windowed path may apply, else None.
 
     Host-side dispatch off the 14-bucket length histogram — the analog of
     the reference's segInfo readback + per-bin launch decision
-    (SplitSort.cuh:654-668, SplitSortBinning.cuh:360-438).
+    (SplitSort.cuh:654-668, SplitSortBinning.cuh:360-438).  sid_bits =
+    bits needed for a window-local segment index at the window size the
+    max length implies (both window grids), for the fused bounded-bits
+    key (the SplitSortRadixFine analog, SplitSortVariants.cuh:846-1138).
     """
     try:
         offs = np.asarray(seg_offsets)
@@ -122,14 +130,36 @@ def _window_max_length(seg_offsets, total: int, seg_count: int):
         return None  # giant segments: whole-buffer composite (reference
         #             SplitSortLarge in-place path)
     ml = int(lens.max())
-    if ml > _WINDOW_CAP // 2:
-        return None
-    return ml
+    L = max(128, 1 << (max(1, ml - 1)).bit_length() + 1)
+    # max segments INTERSECTING any window of either grid: segments
+    # starting in the window plus one possibly straddling in
+    starts = offs.astype(np.int64)
+    max_int = 0
+    for off in (0, L // 2):
+        win = (starts + off) // L
+        max_int = max(max_int, int(np.bincount(win).max()) + 1)
+    sid_bits = max(1, int(np.ceil(np.log2(max_int + 2))))
+    return ml, sid_bits
 
 
-def _window_pass(sid, codes, payloads, L: int, offset: int, n: int):
-    """One stable batched row sort of (seg_id, code[, payloads...]) over
-    L-wide windows starting at -offset (front-padded with sentinels)."""
+def _window_pass(sid, codes, payloads, L: int, offset: int, n: int,
+                 mode: str = "stable3", fuse_bits: int = 0):
+    """One batched row sort over L-wide windows starting at -offset
+    (front-padded with sentinels).  Modes (round-3 hardware sweep,
+    benches/RESULTS.md):
+
+      stable3 — stable (seg_id, code, payloads...) lex sort (num_keys=2);
+                the general pairs path
+      keys2   — unstable (seg_id, code) sort; keys-only (equal pairs are
+                interchangeable), ~2-3x faster than stable3
+      fused   — the SplitSortRadixFine analog (bounded bits,
+                SplitSortVariants.cuh:846-1138): ONE u32 key
+                (window-local seg index << fuse_bits | code) so the sort
+                is 1-op (keys) / (1+payloads)-op (pairs); seg id and code
+                are RECOVERED from the fused key afterwards.  Requires
+                sid_bits + fuse_bits <= 31 (headroom keeps real keys
+                below the back-pad sentinel 0xFFFFFFFF).
+    """
     pad_front = offset
     pad_back = (-(n + offset)) % L
 
@@ -143,34 +173,66 @@ def _window_pass(sid, codes, payloads, L: int, offset: int, n: int):
     sid_p = padf(sid, jnp.int32(-1), jnp.int32(0x7FFFFFFF))
     codes_p = padf(codes, jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
     rows = sid_p.shape[0] // L
-    ops = (sid_p.reshape(rows, L), codes_p.reshape(rows, L)) + tuple(
-        padf(p, jnp.uint32(0), jnp.uint32(0)).reshape(rows, L)
-        for p in payloads)
-    res = jax.lax.sort(ops, num_keys=2, is_stable=True, dimension=1)
-    out = [r.reshape(-1)[pad_front:pad_front + n] for r in res]
+    s2 = sid_p.reshape(rows, L)
+    c2 = codes_p.reshape(rows, L)
+    p2 = tuple(padf(p, jnp.uint32(0), jnp.uint32(0)).reshape(rows, L)
+               for p in payloads)
+
+    def unpad(r):
+        return r.reshape(-1)[pad_front:pad_front + n]
+
+    if mode == "fused":
+        base = s2[:, :1]                      # nondecreasing sids: row min
+        loc = (s2 - base).astype(jnp.uint32)  # window-local seg index
+        fused = (loc << fuse_bits) | c2
+        fused = jnp.where(s2 == jnp.int32(0x7FFFFFFF),
+                          jnp.uint32(0xFFFFFFFF), fused)
+        fused = jnp.where(s2 == jnp.int32(-1), jnp.uint32(0), fused)
+        res = jax.lax.sort((fused,) + p2, num_keys=1, is_stable=True,
+                           dimension=1)
+        f_out = res[0]
+        # recover sid/code for the REAL elements (pads are sliced off;
+        # rows are invariant under a row sort, so each element's window
+        # base is unchanged)
+        code_out = f_out & jnp.uint32((1 << fuse_bits) - 1)
+        sid_out = (f_out >> fuse_bits).astype(jnp.int32) + base
+        return (unpad(sid_out), unpad(code_out),
+                tuple(unpad(r) for r in res[1:]))
+
+    if mode == "keys2":
+        # keys-only: (sid, code) are both comparator keys
+        rs, rc = xla_sort.sort_all_keys_unstable((s2, c2), dimension=1)
+        return unpad(rs), unpad(rc), ()
+
+    res = jax.lax.sort((s2, c2) + p2, num_keys=2, is_stable=True,
+                       dimension=1)
+    out = [unpad(r) for r in res]
     return out[0], out[1], tuple(out[2:])
 
 
 def _windowed_segmented_sort(seg_offsets, codes, payloads, seg_count: int,
-                             max_len: int):
+                             max_len: int, mode: str = "stable3",
+                             fuse_bits: int = 0):
     """Random-length segments via two overlapping window sorts.
 
     TPU-native replacement for the reference's 14 per-length-bin kernels
     (SplitSort.cuh:751-930): instead of gathering each length class, sort
-    (seg_id, key) stably within L-wide windows twice, at offsets 0 and L/2,
-    where L = 2*ceil_pow2(max_len).  Every segment of length <= L/2 lies
-    wholly inside a window of one of the two grids, so it gets exactly
-    sorted there; the other pass leaves already-sorted segments unchanged
-    (stable sort of a sorted row is the identity).  No data movement, no
-    per-class shapes — the whole dispatch is the window length, chosen from
-    the host-side segment-length histogram exactly like the reference's
-    segInfo readback (SplitSort.cuh:654-668).
+    segments within L-wide windows twice, at offsets 0 and L/2, where
+    L = 2*ceil_pow2(max_len).  Every segment of length <= L/2 lies wholly
+    inside a window of one of the two grids, so it gets exactly sorted
+    there; the other pass leaves already-sorted segments unchanged
+    (a stable/total-order window sort of a sorted segment is the
+    identity on it).  No data movement, no per-class shapes — the whole
+    dispatch is the window length + key mode, chosen from the host-side
+    segment-length histogram exactly like the reference's segInfo
+    readback (SplitSort.cuh:654-668).
     """
     n = codes.shape[0]
     L = max(128, 1 << (max(1, max_len - 1)).bit_length() + 1)
     sid = xla_sort.segment_ids_from_offsets(seg_offsets, n).astype(jnp.int32)
-    sid1, c1, p1 = _window_pass(sid, codes, payloads, L, 0, n)
-    _, c2, p2 = _window_pass(sid1, c1, p1, L, L // 2, n)
+    sid1, c1, p1 = _window_pass(sid, codes, payloads, L, 0, n, mode,
+                                fuse_bits)
+    _, c2, p2 = _window_pass(sid1, c1, p1, L, L // 2, n, mode, fuse_bits)
     return c2, p2
 
 
@@ -196,15 +258,15 @@ def _composite_segmented_sort(
         # single fused u32 composite — fewest radix passes
         comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
         if payload_bits is None:
-            # equal comp implies equal codes: unstable == stable here
-            _, sc = jax.lax.sort((comp, codes), num_keys=2, is_stable=False)
+            # equal comp implies equal codes: all operands are keys
+            _, sc = xla_sort.sort_all_keys_unstable((comp, codes))
             return sc, None
         _, sc, sb = jax.lax.sort(
             (comp, codes, payload_bits), num_keys=1, is_stable=True
         )
         return sc, sb
     if payload_bits is None:
-        _, sc = jax.lax.sort((seg_ids, codes), num_keys=2, is_stable=False)
+        _, sc = xla_sort.sort_all_keys_unstable((seg_ids, codes))
         return sc, None
     _, sc, sb = jax.lax.sort(
         (seg_ids, codes, payload_bits), num_keys=2, is_stable=True
@@ -237,11 +299,26 @@ def split_sort_pairs(
     if L is not None and L > 1:
         sc, sb = _batched_segmented_sort(codes, bits, total_seg_count, L)
     else:
-        ml = _window_max_length(seg_offsets, total, total_seg_count)
-        if ml is not None:
+        disp = _window_dispatch(seg_offsets, total, total_seg_count)
+        mode = None
+        if disp is not None:
+            ml, sid_bits = disp
+            fusable = sid_bits + bits_to_sort <= 31
+            if bits is None:
+                if fusable and ml <= _WINDOW_MAX_FUSED:
+                    mode = "fused"
+                elif ml <= _WINDOW_MAX_KEYS:
+                    mode = "keys2"
+            else:
+                if fusable and ml <= _WINDOW_MAX_FUSED:
+                    mode = "fused"
+                elif ml <= _WINDOW_MAX_PAIRS:
+                    mode = "stable3"
+        if mode is not None:
             payloads = () if bits is None else (bits,)
             sc, ps = _windowed_segmented_sort(
-                seg_offsets, codes, payloads, total_seg_count, ml)
+                seg_offsets, codes, payloads, total_seg_count, ml,
+                mode=mode, fuse_bits=bits_to_sort if mode == "fused" else 0)
             sb = ps[0] if bits is not None else None
         else:
             sc, sb = _composite_segmented_sort(
@@ -279,17 +356,25 @@ def split_sort_pairs_wide(
     n = codes.shape[0]
 
     L = _fixed_length_of(seg_offsets, total, total_seg_count)
-    ml = (None if L is not None
-          else _window_max_length(seg_offsets, total, total_seg_count))
+    disp = (None if L is not None
+            else _window_dispatch(seg_offsets, total, total_seg_count))
+    wmode = None
+    if disp is not None:
+        ml, sid_bits = disp
+        if sid_bits + bits_to_sort <= 31 and ml <= _WINDOW_MAX_FUSED:
+            wmode = "fused"
+        elif ml <= _WINDOW_MAX_PAIRS:
+            wmode = "stable3"
     if L is not None and L > 1:
         S = total_seg_count
         sc, slo, shi = jax.lax.sort(
             (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L)),
             num_keys=1, is_stable=True, dimension=1)
         sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
-    elif ml is not None:
+    elif wmode is not None:
         sc, (slo, shi) = _windowed_segmented_sort(
-            seg_offsets, codes, (lo32, hi32), total_seg_count, ml)
+            seg_offsets, codes, (lo32, hi32), total_seg_count, ml,
+            mode=wmode, fuse_bits=bits_to_sort if wmode == "fused" else 0)
     else:
         seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
         seg_bits = _ceil_log2(total_seg_count) + 1

@@ -103,8 +103,10 @@ def test_windowed_path_matches_composite():
         jnp.uint32)
     vals = jnp.arange(total, dtype=jnp.uint32)
     codes = codec.encode_keys(keys)
-    ml = splitsort._window_max_length(offs, total, cnt)
-    assert ml is not None and ml <= 200
+    disp = splitsort._window_dispatch(offs, total, cnt)
+    assert disp is not None
+    ml, _sid_bits = disp
+    assert ml <= 200
     wc, (wv,) = splitsort._windowed_segmented_sort(
         offs, codes, (vals,), cnt, ml)
     cc, cv = splitsort._composite_segmented_sort(offs, codes, vals, cnt, 32)
@@ -117,9 +119,9 @@ def test_windowed_dispatch_thresholds():
     for giant segments."""
     total = 1 << 12
     offs, cnt = prng.make_random_segments(total, 64, seed=9)
-    assert splitsort._window_max_length(offs, total, cnt) is not None
+    assert splitsort._window_dispatch(offs, total, cnt) is not None
     # giant segment -> composite
-    assert splitsort._window_max_length(
+    assert splitsort._window_dispatch(
         jnp.array([0], jnp.uint32), 1 << 18, 1) is None
 
 
@@ -181,3 +183,66 @@ def test_next_fit_bin_packing_invariants():
         assert lengths[bins == b].sum() <= 32
     packed = np.unique(bins[bins >= 0])
     assert packed.tolist() == list(range(nbins))
+
+
+def _seg_oracle(offs, total, keys, vals=None, bits=32):
+    """Composite-path oracle (already cross-validated vs numpy)."""
+    from gpusorting_tpu.core import codec
+
+    codes = codec.encode_keys(keys)
+    b = None if vals is None else vals
+    sc, sb = splitsort._composite_segmented_sort(
+        offs, codes, b, offs.shape[0], bits)
+    return sc, sb
+
+
+def test_fused_window_pairs_bounded_bits():
+    """bits_to_sort small -> the fused 1-key window path (RadixFine
+    analog) must be bit-identical to the composite, incl. stability."""
+    total = 1 << 13
+    offs, cnt = prng.make_random_segments(total, 200, seed=7)
+    keys = (prng.hybrid_taus_bits(total, seed=8) & jnp.uint32(0xFFF)).view(
+        jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = splitsort.split_sort_pairs(
+        offs, keys, vals, cnt, total, bits_to_sort=12)
+    ck, cv = _seg_oracle(offs, total, keys, vals, bits=12)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+
+
+def test_midrange_window_pairs():
+    """Random maxlen in the (2048, 16384] midrange routes through windows
+    (round-3: the round-2 cliff) and matches the composite exactly."""
+    total = 1 << 15
+    offs, cnt = prng.make_random_segments(total, 8192, seed=11)
+    keys = (prng.hybrid_taus_bits(total, seed=12) & jnp.uint32(0xFF)).view(
+        jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    disp = splitsort._window_dispatch(offs, total, cnt)
+    assert disp is not None and disp[0] > 2048  # genuinely midrange
+    sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt, total)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+
+
+def test_midrange_window_keys_only():
+    """Keys-only midrange uses the 2-op unstable (or fused) window path."""
+    total = 1 << 15
+    offs, cnt = prng.make_random_segments(total, 8192, seed=13)
+    keys = prng.hybrid_taus_bits(total, seed=14).view(jnp.uint32)
+    out = splitsort.split_sort_keys(offs, keys, cnt)
+    ck, _ = _seg_oracle(offs, total, keys)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ck))
+
+
+def test_fused_window_keys_only_midrange():
+    """Keys-only + bounded bits at midrange lengths -> fused 1-op path."""
+    total = 1 << 15
+    offs, cnt = prng.make_random_segments(total, 4096, seed=15)
+    keys = (prng.hybrid_taus_bits(total, seed=16) & jnp.uint32(0xFFFF)).view(
+        jnp.uint32)
+    out = splitsort.split_sort_keys(offs, keys, cnt, bits_to_sort=16)
+    ck, _ = _seg_oracle(offs, total, keys, bits=16)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ck))
