@@ -138,7 +138,10 @@ def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
 
     if sub_sort is None:
         def sub_sort(r):
-            return jax.lax.sort((r,), num_keys=1, is_stable=False)[0]
+            # keys-only on bare codes: the all-keys invariant holds
+            from . import xla_sort as _xs
+
+            return _xs.sort_all_keys_unstable((r,))[0]
 
     def run_partition(xf):
         (out,) = _partition_16(

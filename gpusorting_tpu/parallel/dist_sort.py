@@ -87,11 +87,28 @@ def _cell_counts(codes, gidx, spl_c, spl_g, n_dev: int) -> jnp.ndarray:
     D-1 vectorized compare-reductions (no searchsorted: TPU binary-searches
     per element, PROBES.md).  ORDER-INDEPENDENT: callable before the local
     sort, so the cap collective can overlap it.
+
+    The reduction runs in blocks over the shard so the (D-1, block) compare
+    intermediate stays O(block), not O(n_local) — at 2^27 elements/device
+    the unblocked form materializes ~1 GB/device (VERDICT r2 weak #5).
     """
-    at_or_above = (codes[None, :] > spl_c[:, None]) | (
-        (codes[None, :] == spl_c[:, None]) &
-        (gidx[None, :] >= spl_g[:, None]))
-    above = jnp.sum(at_or_above, axis=1, dtype=jnp.int32)     # (D-1,)
+    n_local = codes.shape[0]
+    blk = min(n_local, 1 << 20)
+    if n_local % blk:
+        blk = n_local  # odd shard sizes: single block (tests only)
+
+    def body(i, acc):
+        c = jax.lax.dynamic_slice_in_dim(codes, i * blk, blk)
+        g = jax.lax.dynamic_slice_in_dim(gidx, i * blk, blk)
+        at_or_above = (c[None, :] > spl_c[:, None]) | (
+            (c[None, :] == spl_c[:, None]) & (g[None, :] >= spl_g[:, None]))
+        return acc + jnp.sum(at_or_above, axis=1, dtype=jnp.int32)
+
+    # init derived from the shard so its varying-axis type matches the
+    # body output under shard_map's manual-axes tracking
+    init = jnp.zeros((n_dev - 1,), jnp.int32) + (
+        codes[0] * jnp.uint32(0)).astype(jnp.int32)
+    above = jax.lax.fori_loop(0, n_local // blk, body, init)  # (D-1,)
     n = jnp.int32(codes.shape[0])
     # boundary[d] = first element index of destination d = n - above[d-1]
     bounds = jnp.concatenate([
