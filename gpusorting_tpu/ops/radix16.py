@@ -182,6 +182,12 @@ _XLA_ROWSORT = _os.environ.get("GST_RADIX16_XLA_ROWSORT", "1") == "1"
 # Fuse each part's four byte planes into ONE width-512 matmul: the per-sort
 # matmul count at 2^24 drops from ~32K tiny dispatches to ~8K.
 _WIDE_MM = _os.environ.get("GST_RADIX16_WIDE_MM", "0") == "1"
+# Tile-granular occupancy skip: gate each bucket's whole placement body on
+# tilecnt[0,d] > 0 (16 branches/tile).  Coarser than the rejected
+# per-(block,bucket) pl.when (256+ branches, +41 ms); empty buckets are
+# exact no-ops on all carried state, so skewed digit distributions speed up
+# (the reference family's entropy curve, README.md:25-27).
+_TILE_SKIP = _os.environ.get("GST_RADIX16_TILE_SKIP", "1") == "1"
 
 
 def _place_bucket(d, cur, accs, tops, xs, rowstart, cnt, rowpref,
@@ -373,7 +379,7 @@ def _binning_kernel(sched_ref, ctrl_ref, *refs, tile_rows: int,
             acc[:] = jnp.zeros_like(acc)
 
     # --- 3. per bucket: rotate, place, stream out ---
-    for d in range(NBUCKETS):
+    def place_bucket_d(d):
         cur = cursors[d]                                         # elements
         cur_row = cur >> 7
         for o, acc in enumerate(accs):
@@ -416,6 +422,23 @@ def _binning_kernel(sched_ref, ctrl_ref, *refs, tile_rows: int,
             carry_rows[o * NBUCKETS + d:o * NBUCKETS + d + 1, :] = (
                 jnp.where(keep, tail, 0))
         cursors[d] = new_cur
+
+    for d in range(NBUCKETS):
+        if _TILE_SKIP:
+            # tile-granular occupancy gate (VERDICT r2 #6): a bucket with
+            # no elements in THIS TILE is a no-op on all carried state
+            # (cursor unchanged, carry row reloaded==stored, no DMA), so
+            # the whole placement body is skippable.  16 branches per
+            # tile, each gating ~1/16 of the tile's placement work —
+            # unlike the rejected per-(block,bucket) pl.when (256+ tiny
+            # branches de-pipelined the loop, +41 ms).  Skewed /
+            # low-entropy digit distributions get FASTER (the reference
+            # family's signature entropy curve, README.md:25-27).
+            @pl.when(tilecnt[0, d] > 0)
+            def _(d=d):
+                place_bucket_d(d)
+        else:
+            place_bucket_d(d)
 
     # --- 4. at the segment's last tile: export carry state; on the FINAL
     # segment also RMW-OR each stream's partial row into place ---
