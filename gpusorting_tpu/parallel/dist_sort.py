@@ -176,12 +176,25 @@ def _exchange_and_merge(sorted_ops, counts, n_dev: int, cap: int, axis,
     return tuple(out), count, total_overflow
 
 
-def _cap_ladder(n: int, n_dev: int) -> tuple[int, ...]:
+def _cap_ladder(n: int, n_dev: int,
+                max_skew: float | None = None) -> tuple[int, ...]:
     """Static per-cell capacities: 2x/4x the mean cell, then the shard
-    bound (never-drop).  All row-aligned."""
+    bound (never-drop).  All row-aligned.
+
+    The output/pad buffers are sized by the TOP rung (lax.switch branches
+    must agree on shapes), so the drop-proof full-shard top costs
+    n_dev * shard = GLOBAL-n elements per device — fine at test scales,
+    OOM at the 1B-key configs[4] scale.  `max_skew` truncates the ladder
+    at max_skew x the mean cell: memory per device drops to
+    ~max_skew * shard, and a pathological sample instead REPORTS overflow
+    (the distributed_sort_gather retry discipline escalates it)."""
     mean = max(1, n // (n_dev * n_dev))
     r128 = lambda v: max(128, -(-v // 128) * 128)
-    caps = sorted({r128(2 * mean), r128(4 * mean), r128(n // n_dev)})
+    top = n // n_dev
+    if max_skew is not None:
+        top = min(top, int(max_skew * mean))
+    caps = sorted({c for c in (r128(2 * mean), r128(4 * mean), r128(top))
+                   if c <= r128(top)})
     return tuple(caps)
 
 
@@ -193,6 +206,7 @@ def distributed_sort(
     oversample: int = 32,
     cap_elems: int | None = None,
     exchange_chunks: int = _EXCHANGE_CHUNKS,
+    max_skew: float | None = None,
 ):
     """Sort a globally sharded key (and optional payload) array.
 
@@ -202,8 +216,14 @@ def distributed_sort(
     and dropped elements are structurally impossible (the top rung is the
     full shard bound).  An integer `cap_elems` (rounded up to a 128-lane
     row multiple) forces one capacity and reports `overflow` instead (see
-    distributed_sort_gather for the retry discipline).  Returns a dict;
-    see module docstring for the output convention.
+    distributed_sort_gather for the retry discipline).
+
+    Memory: buffers are sized by the TOP ladder rung, i.e. global-n
+    elements per device in the drop-proof default — at beyond-HBM scales
+    pass `max_skew` (e.g. 8.0) to bound memory at ~max_skew/n_dev of the
+    global array per device; overflow then becomes reportable instead of
+    impossible.  Returns a dict; see module docstring for the output
+    convention.
     """
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
@@ -223,7 +243,7 @@ def distributed_sort(
         codes[::stride], gidx[::stride], n_dev)
 
     if cap_elems is None:
-        caps = _cap_ladder(n, n_dev)
+        caps = _cap_ladder(n, n_dev, max_skew)
     else:
         caps = (max(128, -(-int(cap_elems) // 128) * 128),)
     pad_to = n_dev * caps[-1]
@@ -296,7 +316,13 @@ def distributed_sort_gather(keys, values=None, mesh=None, **kw):
             break
         attempts += 1
         cap = kw.get("cap_elems")
-        kw["cap_elems"] = None if cap is None or attempts > 4 else 2 * cap
+        if cap is None or attempts > 4:
+            # escalate to the UNBOUNDED ladder (drop max_skew too): its
+            # full-shard top rung cannot overflow
+            kw["cap_elems"] = None
+            kw.pop("max_skew", None)
+        else:
+            kw["cap_elems"] = 2 * cap
     codes = np.asarray(res["codes"])
     counts = np.asarray(res["counts"])
     cap = res["cap"]

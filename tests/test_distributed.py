@@ -116,6 +116,39 @@ def test_distributed_overflow_injection_and_recovery(cpu_mesh):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(keys))
 
 
+def test_distributed_max_skew_bounded_memory(cpu_mesh):
+    """max_skew truncates the ladder (the at-scale memory mode): uniform
+    inputs sort exactly within the bounded rungs; an adversarial
+    all-to-one skew overflows the bound, is REPORTED, and the gather
+    retry escalates to the unbounded ladder and recovers exactly."""
+    n = 1 << 13
+    keys = prng.make_test_keys(n, seed=9)
+    res = dist_sort.distributed_sort(keys, mesh=cpu_mesh, max_skew=4.0)
+    assert int(np.asarray(res["overflow"])[0]) == 0
+    assert res["cap"] < n // 8  # the ladder top really is truncated
+    out, overflow = dist_sort.distributed_sort_gather(
+        keys, mesh=cpu_mesh, max_skew=4.0)
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable"))
+
+    # adversarial vs the strided sampler: the sample stride is
+    # n/(D*oversample)=32 here, so keys at positions = 0 mod 32 are tiny
+    # (the only ones sampled) and all others huge — every splitter lands
+    # below the huge mass, which then overflows the truncated top rung
+    pos = jnp.arange(n, dtype=jnp.uint32)
+    base = prng.hybrid_taus_bits(n, seed=11)
+    skew = jnp.where(pos % 32 == 0, base & jnp.uint32(0xFF),
+                     base | jnp.uint32(0xF0000000))
+    res = dist_sort.distributed_sort(skew, mesh=cpu_mesh, max_skew=2.0)
+    assert int(np.asarray(res["overflow"])[0]) > 0  # reported, not dropped
+    out, overflow = dist_sort.distributed_sort_gather(
+        skew, mesh=cpu_mesh, max_skew=2.0)
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(skew), kind="stable"))
+
+
 def test_distributed_exact_cap_never_overflows(cpu_mesh):
     """Default mode measures the exact cell capacity first."""
     n = 1 << 12
