@@ -170,8 +170,9 @@ def main():
                     if "segsort" in sections else []):
         offs, S = prng.make_random_segments(total, max_len, seed=3)
         engine = ("windowed"
-                  if splitsort._window_dispatch(offs, total, int(S))
-                  is not None and max_len <= splitsort._WINDOW_MAX_KEYS
+                  if (splitsort._window_dispatch(offs, total, int(S))
+                      or {}).get("ml") is not None
+                  and max_len <= splitsort._WINDOW_MAX_KEYS
                   else "composite")
 
         def seg_rand_fn(codes, offs=offs, S=S):

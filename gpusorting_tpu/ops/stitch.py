@@ -297,3 +297,163 @@ def compact(values: jnp.ndarray, mask: jnp.ndarray,
     """
     flats, cnt = compact_ops((values,), mask, interpret)
     return flats[0], cnt
+
+
+# ---------------------------------------------------------------------------
+# expand — the inverse of compact: dense stream -> masked positions.
+#
+# out[i] = src[rank(i)] where mask[i], rank(i) = #masked positions before i;
+# out[i] = 0 elsewhere.  XLA's gather would do this at ~0.11 Gelem/s on this
+# part (probes/PROBES.md); here the cross-row movement is the same banded
+# one-hot int8 matmul as compact (each output row reads from <=2 consecutive
+# stream rows) and the within-row movement is a lane gather (289 Gelem/s
+# in-kernel).  This is the placement half of the reference's binning gather
+# (SplitSortBinning.cuh): segments pulled out of a mixed workload can be
+# sorted densely and streamed back into their original spans.
+# ---------------------------------------------------------------------------
+
+
+def _expand_kernel(*refs, tile_rows: int, num_ops: int = 1):
+    m_ref = refs[0]
+    s_hbms = refs[1:num_ops + 1]
+    o_refs = refs[num_ops + 1:2 * num_ops + 1]
+    meta = refs[2 * num_ops + 1]
+    blocks = refs[2 * num_ops + 2:3 * num_ops + 2]
+    sem = refs[3 * num_ops + 2]
+    t = pl.program_id(0)
+    nblk = tile_rows // _BLK
+    bsrc = tile_rows + _BAND + 8  # static stream-block height (rows)
+
+    @pl.when(t == 0)
+    def _():
+        meta[0] = jnp.int32(0)  # stream elements consumed by prior tiles
+
+    m = (m_ref[:] != 0).astype(jnp.int32)
+
+    # within-row ranks and per-row stream offsets (same scans as compact)
+    prefix = _inclusive_lane_prefix(m)
+    pfx_ex = prefix - m                                    # exclusive, (R,128)
+    lens = prefix[:, LANES - 1:LANES]
+    row = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, 1), 0)
+    rp = lens
+    s = 1
+    while s < tile_rows:
+        rp = rp + jnp.where(row >= s, pltpu.roll(rp, s, axis=0), 0)
+        s *= 2
+    c = meta[0]
+    g_rel = rp - lens                                      # (R,1) tile-rel
+    tile_total = rp[tile_rows - 1, 0]
+
+    # bring in every stream row this tile can touch (static size, dynamic
+    # row start — the supported DMA shape on this part)
+    c_row = c >> 7
+    for o in range(num_ops):
+        cp = pltpu.make_async_copy(
+            s_hbms[o].at[pl.ds(c_row, bsrc), :],
+            blocks[o].at[pl.ds(0, bsrc), :], sem)
+        cp.start()
+        cp.wait()
+
+    # offset of each row's first stream element, relative to the block
+    off0 = (c & (LANES - 1)) + g_rel                       # (R,1)
+    q = off0 >> 7                                          # block row
+    phase = off0 & (LANES - 1)
+
+    band_iota = jax.lax.broadcasted_iota(jnp.int32, (_BLK, _BAND), 1)
+    for b in range(nblk):
+        sl = slice(b * _BLK, (b + 1) * _BLK)
+        qb = q[sl]
+        q0 = qb[0, 0]
+        srel = qb - q0                                     # 0.._BAND-2
+        s_lo = (srel == band_iota).astype(jnp.int8)        # (BLK,BAND)
+        s_hi = (srel + 1 == band_iota).astype(jnp.int8)
+        idx = phase[sl] + pfx_ex[sl]                       # (BLK,128)
+        use_hi = idx >= LANES
+        il = idx & (LANES - 1)
+        for o in range(num_ops):
+            sc = blocks[o][pl.ds(q0, _BAND), :]            # (BAND,128) i32
+            picked = []
+            for smat in (s_lo, s_hi):
+                out_i32 = jnp.full((_BLK, LANES), jnp.int32(-2139062144))
+                for k in range(4):
+                    plane = (((sc >> (8 * k)) & 255) - 128).astype(jnp.int8)
+                    r = jax.lax.dot_general(
+                        smat, plane, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)  # (BLK,128)
+                    # one-hot rows: bias is exactly 128 per byte plane,
+                    # folded into the 0x80808080 initializer above
+                    out_i32 = out_i32 + (r << (8 * k))
+                picked.append(out_i32)
+            val = jnp.where(use_hi,
+                            jnp.take_along_axis(picked[1], il, axis=1),
+                            jnp.take_along_axis(picked[0], il, axis=1))
+            o_refs[o][sl, :] = jnp.where(m[sl] != 0, val, 0)
+
+    meta[0] = c + tile_total
+
+
+@functools.lru_cache(maxsize=16)
+def _build_expand(rows: int, src_rows: int, tile_rows: int, interpret: bool,
+                  num_ops: int = 1):
+    kern = functools.partial(_expand_kernel, tile_rows=tile_rows,
+                             num_ops=num_ops)
+    bsrc = tile_rows + _BAND + 8
+
+    def call(m, *srcs):
+        return pl.pallas_call(
+            kern,
+            grid=(rows // tile_rows,),
+            in_specs=[pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))]
+            + [pl.BlockSpec(memory_space=pl.ANY) for _ in range(num_ops)],
+            out_specs=tuple(pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0))
+                            for _ in range(num_ops)),
+            out_shape=tuple(jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+                            for _ in range(num_ops)),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.int32)]
+            + [pltpu.VMEM((bsrc, LANES), jnp.int32) for _ in range(num_ops)]
+            + [pltpu.SemaphoreType.DMA(())],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+            interpret=interpret,
+        )(m, *srcs)
+
+    return jax.jit(call)
+
+
+def expand_ops(srcs: tuple, mask: jnp.ndarray,
+               interpret: bool | None = None):
+    """Place dense streams at masked positions (inverse of `compact_ops`).
+
+    For each operand, returns a 1-D array `out` with
+    `out[i] = src[rank(i)]` where `mask[i]` (rank = number of masked
+    positions before i, i.e. the compact stream index) and 0 elsewhere.
+    Only the first `mask.sum()` elements of each `src` are read.  All
+    operands move by the SAME mask.  1-D i32/u32 operands.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    n = mask.shape[0]
+    dts = [v.dtype for v in srcs]
+    rows = max(_BLK, -(-n // LANES))
+    tile_rows = min(2048, -(-rows // _BLK) * _BLK)
+    rows = -(-rows // tile_rows) * tile_rows
+    pad = rows * LANES - n
+    bsrc = tile_rows + _BAND + 8
+    src_rows = rows + bsrc  # static DMA window never reads out of bounds
+    xs = []
+    for v in srcs:
+        x = v.view(jnp.int32) if v.dtype == jnp.uint32 else v
+        # srcs may be shorter than the mask (only mask.sum() entries read)
+        x = jnp.concatenate(
+            [x, jnp.zeros((src_rows * LANES - x.shape[0],), jnp.int32)])
+        xs.append(x.reshape(src_rows, LANES))
+    m = mask.astype(jnp.int32)
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros((pad,), jnp.int32)])
+    res = _build_expand(rows, src_rows, tile_rows, interpret, len(srcs))(
+        m.reshape(rows, LANES), *xs)
+    if not isinstance(res, (tuple, list)):
+        res = (res,)
+    return tuple(
+        (o.reshape(-1)[:n].view(dt) if dt == jnp.uint32 else o.reshape(-1)[:n])
+        for o, dt in zip(res, dts))

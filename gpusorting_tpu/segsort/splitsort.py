@@ -105,15 +105,46 @@ _WINDOW_MAX_FUSED = 32768
 _WINDOW_MAX_PAIRS = 16384
 
 
-def _window_dispatch(seg_offsets, total: int, seg_count: int):
-    """(max_len, sid_bits) if the windowed path may apply, else None.
+def _window_sid_bits(starts: np.ndarray, max_len: int) -> int:
+    """Bits for a window-local segment index at the window size `max_len`
+    implies (both window grids), for the fused bounded-bits key (the
+    SplitSortRadixFine analog, SplitSortVariants.cuh:846-1138).  Counts
+    the max segments INTERSECTING any window: segments starting in the
+    window plus one possibly straddling in (segments are contiguous, so
+    at most one crosses the left edge)."""
+    L = max(128, 1 << (max(1, max_len - 1)).bit_length() + 1)
+    max_int = 0
+    for off in (0, L // 2):
+        win = (starts + off) // L
+        max_int = max(max_int, int(np.bincount(win).max()) + 1)
+    return max(1, int(np.ceil(np.log2(max_int + 2))))
 
-    Host-side dispatch off the 14-bucket length histogram — the analog of
-    the reference's segInfo readback + per-bin launch decision
-    (SplitSort.cuh:654-668, SplitSortBinning.cuh:360-438).  sid_bits =
-    bits needed for a window-local segment index at the window size the
-    max length implies (both window grids), for the fused bounded-bits
-    key (the SplitSortRadixFine analog, SplitSortVariants.cuh:846-1138).
+
+# Length-class split (the binning-drives-execution path): bulk segments
+# window-sort at their own small window; the long tail is compacted out,
+# composite-sorted densely, and expanded back into its spans.  Applied
+# when the tail is small and the window shrink is large.
+_SPLIT_BULK_COVER = 0.75   # min elem fraction the small class must cover
+_SPLIT_MAX_TAIL = 0.25     # max elem fraction in the long tail
+_SPLIT_MIN_SHRINK = 4      # min window-size ratio to justify the split
+
+
+def _window_dispatch(seg_offsets, total: int, seg_count: int):
+    """Host-side dispatch plan off the 14-bucket length histogram — the
+    analog of the reference's segInfo readback + per-bin launch decision
+    (SplitSort.cuh:654-668, SplitSortBinning.cuh:360-438).
+
+    Returns None (composite / traced offsets) or a dict:
+      {"ml", "sid_bits"}          — whole-workload window ladder terms
+                                    (absent when giant segments preclude
+                                    them), plus
+      {"split": {...}} when the length-class split applies: the histogram
+      shows a small-segment bulk (>= _SPLIT_BULK_COVER of elements) whose
+      own window is >= _SPLIT_MIN_SHRINK smaller than the global one (or
+      the global window is infeasible outright).  The split dict carries
+      the class threshold T, the bulk's ml/sid_bits, and the long-segment
+      geometry (host numpy: starts/lens/k) for the compact-sort-expand
+      tail path.
     """
     try:
         offs = np.asarray(seg_offsets)
@@ -126,20 +157,39 @@ def _window_dispatch(seg_offsets, total: int, seg_count: int):
     if lens.size == 0 or lens.min() < 0:
         return None
     hist = segment_length_histogram(lens)
-    if hist["gt_count"] > 0:
-        return None  # giant segments: whole-buffer composite (reference
-        #             SplitSortLarge in-place path)
-    ml = int(lens.max())
-    L = max(128, 1 << (max(1, ml - 1)).bit_length() + 1)
-    # max segments INTERSECTING any window of either grid: segments
-    # starting in the window plus one possibly straddling in
     starts = offs.astype(np.int64)
-    max_int = 0
-    for off in (0, L // 2):
-        win = (starts + off) // L
-        max_int = max(max_int, int(np.bincount(win).max()) + 1)
-    sid_bits = max(1, int(np.ceil(np.log2(max_int + 2))))
-    return ml, sid_bits
+    ml = int(lens.max())
+    plan = {}
+    if hist["gt_count"] == 0:
+        plan["ml"] = ml
+        plan["sid_bits"] = _window_sid_bits(starts, ml)
+
+    # length-class split consideration
+    if seg_count >= 2 and total > 0:
+        bin_idx = np.searchsorted(np.asarray(BIN_BOUNDS), lens, side="left")
+        w = np.cumsum(np.bincount(bin_idx, weights=lens,
+                                  minlength=len(BIN_BOUNDS) + 1))
+        covered = np.nonzero(w[:len(BIN_BOUNDS)]
+                             >= _SPLIT_BULK_COVER * total)[0]
+        if covered.size:
+            T = BIN_BOUNDS[int(covered[0])]
+            small = lens <= T
+            tail_elems = int(lens[~small].sum())
+            ml_small = int(lens[small].max()) if small.any() else 0
+            infeasible = hist["gt_count"] > 0 or ml > _WINDOW_MAX_KEYS
+            shrink_ok = (1 << (max(1, ml - 1)).bit_length()) >= (
+                _SPLIT_MIN_SHRINK * (1 << (max(1, ml_small - 1)).bit_length()))
+            if (0 < tail_elems <= _SPLIT_MAX_TAIL * total
+                    and (infeasible or shrink_ok)):
+                plan["split"] = {
+                    "T": T,
+                    "ml": ml_small,
+                    "sid_bits": _window_sid_bits(starts, max(2, ml_small)),
+                    "long_starts": starts[~small],
+                    "long_lens": lens[~small],
+                    "k": tail_elems,
+                }
+    return plan or None
 
 
 def _window_pass(sid, codes, payloads, L: int, offset: int, n: int,
@@ -236,6 +286,36 @@ def _windowed_segmented_sort(seg_offsets, codes, payloads, seg_count: int,
     return c2, p2
 
 
+def _composite_multi(seg_offsets, codes, payloads: tuple, seg_count: int,
+                     bits_to_sort: int):
+    """Whole-buffer composite (segId || key) sort, any payload count.
+
+    Semantics of SplitSortLarge.cuh:1198-1289: sort the concatenation of
+    all segments by the composite (segment id, bounded key); stability
+    gives correct in-segment payload order.  Fused to a single u32 key
+    when segIdBits + bits_to_sort <= 32 (the bits_to_sort lever).
+    Returns (sorted_codes, sorted_payloads_tuple).
+    """
+    n = codes.shape[0]
+    seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
+    seg_bits = _ceil_log2(seg_count) + 1
+    if seg_bits + bits_to_sort <= 32:
+        comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
+        if not payloads:
+            # equal comp implies equal codes: all operands are keys
+            _, sc = xla_sort.sort_all_keys_unstable((comp, codes))
+            return sc, ()
+        res = jax.lax.sort((comp, codes) + payloads, num_keys=1,
+                           is_stable=True)
+        return res[1], tuple(res[2:])
+    if not payloads:
+        _, sc = xla_sort.sort_all_keys_unstable((seg_ids, codes))
+        return sc, ()
+    res = jax.lax.sort((seg_ids, codes) + payloads, num_keys=2,
+                       is_stable=True)
+    return res[1], tuple(res[2:])
+
+
 def _composite_segmented_sort(
     seg_offsets: jnp.ndarray,
     codes: jnp.ndarray,
@@ -243,35 +323,111 @@ def _composite_segmented_sort(
     seg_count: int,
     bits_to_sort: int,
 ):
-    """Whole-buffer composite (segId || key) sort.
+    """Single-payload form of `_composite_multi` (the historical API)."""
+    sc, ps = _composite_multi(
+        seg_offsets, codes,
+        () if payload_bits is None else (payload_bits,),
+        seg_count, bits_to_sort)
+    return sc, (ps[0] if ps else None)
 
-    Semantics of SplitSortLarge.cuh:1198-1289: sort the concatenation of all
-    segments by the composite (segment id, bounded key); stability gives
-    correct in-segment payload order.  Here the composite is carried as a
-    two-key stable sort, which the radix engine lowers to
-    ceil((segIdBits + bits_to_sort)/8) passes.
+
+def _split_class_segmented_sort(seg_offsets, codes, payloads: tuple,
+                                seg_count: int, split: dict,
+                                mode: str | None, fuse_bits: int,
+                                bits_to_sort: int):
+    """Length-class split: windows for the bulk, compact-sort-expand for
+    the long tail — the binning-drives-execution path.
+
+    The reference gathers length classes into per-bin buffers and launches
+    a kernel per bin (SplitSortBinning.cuh:360-438, SplitSort.cuh:740-930).
+    TPU-native equivalent for a bimodal workload: the small-segment bulk is
+    window-sorted IN PLACE at its own (small) window — long segments ride
+    along and stay within their spans (window sorts keyed by segment id
+    preserve each segment's element multiset per span) — while the long
+    tail is compacted out densely (`stitch.compact_ops`), composite-sorted
+    as its own tiny workload, and streamed back into its spans with
+    `stitch.expand_ops` (both ~6-8 Gelem/s vs XLA's 0.11 G gather).
     """
     n = codes.shape[0]
-    seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
-    seg_bits = _ceil_log2(seg_count) + 1
-    if seg_bits + bits_to_sort <= 32:
-        # single fused u32 composite — fewest radix passes
-        comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
-        if payload_bits is None:
-            # equal comp implies equal codes: all operands are keys
-            _, sc = xla_sort.sort_all_keys_unstable((comp, codes))
-            return sc, None
-        _, sc, sb = jax.lax.sort(
-            (comp, codes, payload_bits), num_keys=1, is_stable=True
-        )
-        return sc, sb
-    if payload_bits is None:
-        _, sc = xla_sort.sort_all_keys_unstable((seg_ids, codes))
-        return sc, None
-    _, sc, sb = jax.lax.sort(
-        (seg_ids, codes, payload_bits), num_keys=2, is_stable=True
-    )
-    return sc, sb
+    starts = split["long_starts"]
+    lens = split["long_lens"]
+    k = split["k"]
+
+    # per-element long-class mask from host-known [start, end) intervals:
+    # +-1 boundary scatter + cumsum (the segment_ids_from_offsets pattern)
+    bounds = np.concatenate([starts, starts + lens]).astype(np.int64)
+    delta = np.concatenate([np.ones_like(starts), -np.ones_like(starts)])
+    marks = jnp.zeros((n,), jnp.int32).at[jnp.asarray(bounds)].add(
+        jnp.asarray(delta.astype(np.int32)), mode="drop")
+    mask = jnp.cumsum(marks) > 0
+
+    # bulk: window ladder at the small class's own window; long elements
+    # participate (their within-span order becomes garbage) and are
+    # overwritten below
+    if split["ml"] > 1 and mode is not None:
+        c_b, p_b = _windowed_segmented_sort(
+            seg_offsets, codes, payloads, seg_count, split["ml"],
+            mode=mode, fuse_bits=fuse_bits)
+    else:
+        c_b, p_b = codes, payloads  # length<=1 bulk is already sorted
+
+    # tail: dense extraction -> composite sort -> stream back
+    from ..ops import stitch
+
+    packed, _cnt = stitch.compact_ops((codes,) + payloads, mask)
+    t_codes = packed[0][:k]
+    t_pays = tuple(p[:k] for p in packed[1:])
+    t_offs = jnp.asarray(
+        np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32))
+    sc_t, ps_t = _composite_multi(t_offs, t_codes, t_pays, len(lens),
+                                  bits_to_sort)
+    exp = stitch.expand_ops((sc_t,) + ps_t, mask)
+    out_c = jnp.where(mask, exp[0], c_b)
+    out_p = tuple(jnp.where(mask, e, pb) for e, pb in zip(exp[1:], p_b))
+    return out_c, out_p
+
+
+def _pick_window_mode(ml: int, sid_bits: int, bits_to_sort: int,
+                      has_payload: bool):
+    """Key-mode ladder for the window path (round-3 hardware sweep,
+    benches/RESULTS.md): fused when the bounded-bits key fits, else the
+    cheapest correct multi-operand sort under the measured window caps."""
+    fusable = sid_bits + bits_to_sort <= 31
+    if fusable and ml <= _WINDOW_MAX_FUSED:
+        return "fused"
+    if not has_payload:
+        return "keys2" if ml <= _WINDOW_MAX_KEYS else None
+    return "stable3" if ml <= _WINDOW_MAX_PAIRS else None
+
+
+def _dispatch_random_lengths(seg_offsets, codes, payloads: tuple, total: int,
+                             seg_count: int, bits_to_sort: int,
+                             has_payload: bool):
+    """Histogram-driven random-length dispatch: length-class split, whole
+    window ladder, or None (caller falls to the composite)."""
+    plan = _window_dispatch(seg_offsets, total, seg_count)
+    if not plan:
+        return None
+    split = plan.get("split")
+    if split is not None:
+        if split["ml"] > 1:
+            bmode = _pick_window_mode(split["ml"], split["sid_bits"],
+                                      bits_to_sort, has_payload)
+        else:
+            bmode = None  # length<=1 bulk needs no sorting
+        if bmode is not None or split["ml"] <= 1:
+            return _split_class_segmented_sort(
+                seg_offsets, codes, payloads, seg_count, split, bmode,
+                bits_to_sort if bmode == "fused" else 0, bits_to_sort)
+    if "ml" in plan:
+        mode = _pick_window_mode(plan["ml"], plan["sid_bits"],
+                                 bits_to_sort, has_payload)
+        if mode is not None:
+            return _windowed_segmented_sort(
+                seg_offsets, codes, payloads, seg_count, plan["ml"],
+                mode=mode,
+                fuse_bits=bits_to_sort if mode == "fused" else 0)
+    return None
 
 
 def split_sort_pairs(
@@ -299,26 +455,12 @@ def split_sort_pairs(
     if L is not None and L > 1:
         sc, sb = _batched_segmented_sort(codes, bits, total_seg_count, L)
     else:
-        disp = _window_dispatch(seg_offsets, total, total_seg_count)
-        mode = None
-        if disp is not None:
-            ml, sid_bits = disp
-            fusable = sid_bits + bits_to_sort <= 31
-            if bits is None:
-                if fusable and ml <= _WINDOW_MAX_FUSED:
-                    mode = "fused"
-                elif ml <= _WINDOW_MAX_KEYS:
-                    mode = "keys2"
-            else:
-                if fusable and ml <= _WINDOW_MAX_FUSED:
-                    mode = "fused"
-                elif ml <= _WINDOW_MAX_PAIRS:
-                    mode = "stable3"
-        if mode is not None:
-            payloads = () if bits is None else (bits,)
-            sc, ps = _windowed_segmented_sort(
-                seg_offsets, codes, payloads, total_seg_count, ml,
-                mode=mode, fuse_bits=bits_to_sort if mode == "fused" else 0)
+        payloads = () if bits is None else (bits,)
+        res = _dispatch_random_lengths(
+            seg_offsets, codes, payloads, total, total_seg_count,
+            bits_to_sort, has_payload=bits is not None)
+        if res is not None:
+            sc, ps = res
             sb = ps[0] if bits is not None else None
         else:
             sc, sb = _composite_segmented_sort(
@@ -356,35 +498,22 @@ def split_sort_pairs_wide(
     n = codes.shape[0]
 
     L = _fixed_length_of(seg_offsets, total, total_seg_count)
-    disp = (None if L is not None
-            else _window_dispatch(seg_offsets, total, total_seg_count))
-    wmode = None
-    if disp is not None:
-        ml, sid_bits = disp
-        if sid_bits + bits_to_sort <= 31 and ml <= _WINDOW_MAX_FUSED:
-            wmode = "fused"
-        elif ml <= _WINDOW_MAX_PAIRS:
-            wmode = "stable3"
     if L is not None and L > 1:
         S = total_seg_count
         sc, slo, shi = jax.lax.sort(
             (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L)),
             num_keys=1, is_stable=True, dimension=1)
         sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
-    elif wmode is not None:
-        sc, (slo, shi) = _windowed_segmented_sort(
-            seg_offsets, codes, (lo32, hi32), total_seg_count, ml,
-            mode=wmode, fuse_bits=bits_to_sort if wmode == "fused" else 0)
     else:
-        seg_ids = xla_sort.segment_ids_from_offsets(seg_offsets, n)
-        seg_bits = _ceil_log2(total_seg_count) + 1
-        if seg_bits + bits_to_sort <= 32:
-            comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
-            _, sc, slo, shi = jax.lax.sort(
-                (comp, codes, lo32, hi32), num_keys=1, is_stable=True)
+        res = _dispatch_random_lengths(
+            seg_offsets, codes, (lo32, hi32), total, total_seg_count,
+            bits_to_sort, has_payload=True)
+        if res is not None:
+            sc, (slo, shi) = res
         else:
-            _, sc, slo, shi = jax.lax.sort(
-                (seg_ids, codes, lo32, hi32), num_keys=2, is_stable=True)
+            sc, (slo, shi) = _composite_multi(
+                seg_offsets, codes, (lo32, hi32), total_seg_count,
+                bits_to_sort)
     return codec.decode_keys(sc, kt), slo.view(lo.dtype), shi.view(hi.dtype)
 
 

@@ -105,7 +105,7 @@ def test_windowed_path_matches_composite():
     codes = codec.encode_keys(keys)
     disp = splitsort._window_dispatch(offs, total, cnt)
     assert disp is not None
-    ml, _sid_bits = disp
+    ml = disp["ml"]
     assert ml <= 200
     wc, (wv,) = splitsort._windowed_segmented_sort(
         offs, codes, (vals,), cnt, ml)
@@ -220,7 +220,7 @@ def test_midrange_window_pairs():
         jnp.uint32)
     vals = jnp.arange(total, dtype=jnp.uint32)
     disp = splitsort._window_dispatch(offs, total, cnt)
-    assert disp is not None and disp[0] > 2048  # genuinely midrange
+    assert disp is not None and disp["ml"] > 2048  # genuinely midrange
     sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt, total)
     ck, cv = _seg_oracle(offs, total, keys, vals)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
@@ -246,3 +246,82 @@ def test_fused_window_keys_only_midrange():
     out = splitsort.split_sort_keys(offs, keys, cnt, bits_to_sort=16)
     ck, _ = _seg_oracle(offs, total, keys, bits=16)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ck))
+
+
+def _bimodal_segments(total, long_lens, max_small=32, seed=0):
+    """Many small segments with a few long ones sprinkled in."""
+    rng = np.random.RandomState(seed)
+    lens = []
+    rem = total - sum(long_lens)
+    while rem > 0:
+        l = min(int(rng.randint(1, max_small + 1)), rem)
+        lens.append(l)
+        rem -= l
+    for ll in long_lens:
+        lens.insert(int(rng.randint(0, len(lens))), ll)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32)
+    return jnp.asarray(offs), len(lens)
+
+
+def test_length_class_split_bimodal_pairs():
+    """A bimodal workload (tiny bulk + few long segments) takes the
+    length-class split: bulk windows at the small class's window, long
+    tail compact-sorted-expanded (the binning-drives-execution path,
+    SplitSortBinning.cuh:360-438).  Bit-exact vs the composite oracle,
+    including stability on duplicate-heavy keys."""
+    total = 1 << 13
+    offs, cnt = _bimodal_segments(total, [1100, 800], seed=21)
+    plan = splitsort._window_dispatch(offs, total, cnt)
+    assert plan is not None and "split" in plan, plan
+    keys = (prng.hybrid_taus_bits(total, seed=22) & jnp.uint32(0x3F)).view(
+        jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt, total)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+    # keys-only form through the same split
+    out = splitsort.split_sort_keys(offs, keys, cnt)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ck))
+
+
+def test_length_class_split_over_cap_segment():
+    """One segment FAR past every window cap inside a tiny-segment bulk:
+    round 2 sent the WHOLE workload to the composite; the split now
+    serves the bulk through windows and only the long segment through
+    the dense composite.  (The >131072 true-giant form of this case —
+    where plan lacks "ml" entirely — is hardware-checked in
+    benches/run_suite.py; it needs 2^21 elements to keep the tail
+    fraction splittable, too slow for interpret-mode CI.)"""
+    total = 1 << 18
+    offs, cnt = _bimodal_segments(total, [50000], seed=23)
+    plan = splitsort._window_dispatch(offs, total, cnt)
+    assert plan is not None and "split" in plan, (
+        None if plan is None else sorted(plan))
+    # the whole-workload window ladder is infeasible at ml=50000
+    assert splitsort._pick_window_mode(
+        plan["ml"], plan["sid_bits"], 32, True) is None
+    keys = prng.hybrid_taus_bits(total, seed=24).view(jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt, total)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+
+
+def test_length_class_split_wide_payload():
+    """64-bit payload planes ride the split path."""
+    total = 1 << 13
+    offs, cnt = _bimodal_segments(total, [1100], seed=25)
+    plan = splitsort._window_dispatch(offs, total, cnt)
+    assert plan is not None and "split" in plan
+    keys = prng.hybrid_taus_bits(total, seed=26).view(jnp.uint32)
+    lo = jnp.arange(total, dtype=jnp.uint32)
+    hi = (jnp.arange(total, dtype=jnp.uint32) * jnp.uint32(7))
+    sk, slo, shi = splitsort.split_sort_pairs_wide(
+        offs, keys, lo, hi, cnt, total)
+    ck, clo = _seg_oracle(offs, total, keys, lo)
+    _, chi = _seg_oracle(offs, total, keys, hi)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(slo), np.asarray(clo))
+    np.testing.assert_array_equal(np.asarray(shi), np.asarray(chi))

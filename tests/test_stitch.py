@@ -48,3 +48,45 @@ def test_compact_int32_negative_values():
     out, cnt = stitch.compact(x, m)
     ref = np.asarray(x)[np.asarray(m)]
     np.testing.assert_array_equal(np.asarray(out)[:int(cnt)], ref)
+
+
+@pytest.mark.parametrize("n,density", [
+    (1, 1.0), (257, 0.0), (1000, 0.3), (16384, 0.9), (40000, 0.05),
+])
+def test_expand_matches_numpy(n, density):
+    """expand is the inverse of compact: dense stream -> masked positions."""
+    m = RNG.rand(n) < density
+    x = RNG.randint(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    k = int(m.sum())
+    stream = RNG.randint(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    stream[:k] = x[m]            # tail beyond k is garbage and must be ignored
+    (out,) = stitch.expand_ops((jnp.asarray(stream),), jnp.asarray(m))
+    exp = np.zeros(n, np.uint32)
+    exp[m] = x[m]
+    np.testing.assert_array_equal(np.asarray(out), exp)
+
+
+def test_expand_multi_op_and_short_stream():
+    """Operands move by one shared mask; streams may be length-k (< n)."""
+    n = 30_000
+    m = RNG.rand(n) < 0.4
+    k = int(m.sum())
+    a = RNG.randint(0, 2**32, size=k, dtype=np.uint64).astype(np.uint32)
+    b = RNG.randint(-2**31, 2**31, size=k, dtype=np.int64).astype(np.int32)
+    oa, ob = stitch.expand_ops((jnp.asarray(a), jnp.asarray(b)),
+                               jnp.asarray(m))
+    ea = np.zeros(n, np.uint32); ea[m] = a
+    eb = np.zeros(n, np.int32); eb[m] = b
+    np.testing.assert_array_equal(np.asarray(oa), ea)
+    np.testing.assert_array_equal(np.asarray(ob), eb)
+
+
+def test_expand_compact_roundtrip():
+    """where(mask, expand(compact(x)), x) == x under any mask."""
+    n = 20_000
+    m = RNG.rand(n) < 0.6
+    x = RNG.randint(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+    packed, cnt = stitch.compact(jnp.asarray(x), jnp.asarray(m))
+    (back,) = stitch.expand_ops((packed,), jnp.asarray(m))
+    out = np.where(m, np.asarray(back), x)
+    np.testing.assert_array_equal(out, x)
