@@ -184,6 +184,48 @@ def main():
         emit(f"segsort_random_maxlen{max_len}_pairs", res["keys_per_sec"],
              total, {"engine": engine, "segments": int(S)})
 
+    # bimodal length-class split (small bulk + long tail -> bulk windows +
+    # compact/expand tail) vs the same workload forced through the composite
+    if "segsort" in sections and on_tpu:
+        rng = np.random.RandomState(7)
+        lens = []
+        longs = [40_000, 30_000]
+        rem = total - sum(longs)
+        while rem > 0:
+            l = min(int(rng.randint(1, 65)), rem)
+            lens.append(l)
+            rem -= l
+        for ll in longs:
+            lens.insert(int(rng.randint(0, len(lens))), ll)
+        offs = jnp.asarray(
+            np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32))
+        S = len(lens)
+        plan = splitsort._window_dispatch(offs, total, S)
+        routed = plan is not None and "split" in plan
+
+        def seg_split_fn(codes, offs=offs, S=S):
+            k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
+            return k
+
+        res = timing.batch_timing(seg_split_fn, total, batch=5, seed=10,
+                                  repeats=2)
+        emit("segsort_bimodal_split_pairs", res["keys_per_sec"], total,
+             {"engine": "length_class_split" if routed else "UNROUTED",
+              "segments": S, "tail_elems": sum(longs)})
+
+        from gpusorting_tpu.core import codec as _codec
+
+        def seg_comp_fn(codes, offs=offs, S=S):
+            k, _ = splitsort._composite_segmented_sort(
+                offs, _codec.encode_keys(codes), codes.view(jnp.uint32), S,
+                32)
+            return k
+
+        res = timing.batch_timing(seg_comp_fn, total, batch=5, seed=10,
+                                  repeats=2)
+        emit("segsort_bimodal_composite_pairs", res["keys_per_sec"], total,
+             {"engine": "composite_forced", "segments": S})
+
     with open(outpath, "a") as f:
         stamp = {"ts": time.time(), "rows": results}
         f.write(json.dumps(stamp) + "\n")

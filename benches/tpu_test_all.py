@@ -75,6 +75,51 @@ def main():
         ok += errs == 0
     print(f"[segsort fixtures] {ok} / {len(cases)} passed", flush=True)
 
+    # 5b. length-class split path on hardware: bimodal workloads (small
+    #     bulk + long tail -> bulk windows + compact/expand tail) must be
+    #     bit-exact with the composite engine, including the TRUE-GIANT
+    #     form (a segment past the 131072 giant bound, where the whole-
+    #     workload window ladder is precluded outright) that interpret-
+    #     mode CI cannot afford (tests/test_segsort.py notes).
+    def _bimodal(total, long_lens, max_small=64, seed=0):
+        rng = np.random.RandomState(seed)
+        lens = []
+        rem = total - sum(long_lens)
+        while rem > 0:
+            l = min(int(rng.randint(1, max_small + 1)), rem)
+            lens.append(l)
+            rem -= l
+        for ll in long_lens:
+            lens.insert(int(rng.randint(0, len(lens))), ll)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32)
+        return jnp.asarray(offs), len(lens)
+
+    ok = 0
+    split_cases = [
+        (1 << 22, [40_000, 30_000], "bimodal"),
+        (1 << 21, [200_000], "true-giant"),
+    ]
+    for total_s, longs, tag_s in split_cases:
+        offs, S = _bimodal(total_s, longs, seed=len(longs))
+        plan = splitsort._window_dispatch(offs, total_s, S)
+        routed = plan is not None and "split" in plan
+        keys, vals = prng.make_test_pairs(total_s, 31)
+        from gpusorting_tpu.core import codec as _codec
+        kc = _codec.encode_keys(keys)
+        vb = vals.view(jnp.uint32)
+        # public route (takes the split per the asserted plan) vs the
+        # composite engine on the same codes
+        sk, sv = gst.split_sort_pairs(offs, keys, vals, S, total_s)
+        ck, cv = splitsort._composite_segmented_sort(offs, kc, vb, S, 32)
+        good = (routed and
+                int(validate.identical(_codec.encode_keys(sk), ck)) == 0 and
+                int(validate.identical(sv.view(jnp.uint32), cv)) == 0)
+        ok += good
+        print(f"  split[{tag_s}] routed={routed} "
+              f"{'PASS' if good else 'FAIL'}", flush=True)
+    print(f"[segsort length-class split] {ok} / {len(split_cases)} passed",
+          flush=True)
+
     # 6. building-block kernels on hardware
     from gpusorting_tpu.ops import kernels
     n = 1 << 20

@@ -291,7 +291,7 @@ def test_length_class_split_over_cap_segment():
     serves the bulk through windows and only the long segment through
     the dense composite.  (The >131072 true-giant form of this case —
     where plan lacks "ml" entirely — is hardware-checked in
-    benches/run_suite.py; it needs 2^21 elements to keep the tail
+    benches/tpu_test_all.py §5b; it needs 2^21 elements to keep the tail
     fraction splittable, too slow for interpret-mode CI.)"""
     total = 1 << 18
     offs, cnt = _bimodal_segments(total, [50000], seed=23)
