@@ -325,3 +325,63 @@ def test_length_class_split_wide_payload():
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
     np.testing.assert_array_equal(np.asarray(slo), np.asarray(clo))
     np.testing.assert_array_equal(np.asarray(shi), np.asarray(chi))
+
+
+def _lens_to_offs(lens):
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32)
+    return jnp.asarray(offs), len(lens)
+
+
+def _small_fill(total, max_small, seed):
+    rng = np.random.RandomState(seed)
+    lens, rem = [], total
+    while rem > 0:
+        l = min(int(rng.randint(1, max_small + 1)), rem)
+        lens.append(l)
+        rem -= l
+    return lens
+
+
+@pytest.mark.parametrize("where", ["start", "end", "adjacent"])
+def test_length_class_split_tail_placement(where):
+    """Long-tail mask boundary cases: a long segment at the very start
+    of the array, at the very end (its end bound == n hits the
+    scatter-drop edge), and two back-to-back long segments (the +1/-1
+    boundary marks cancel at the shared offset)."""
+    total = 1 << 13
+    small = _small_fill(total - 1900, 32, seed=31)
+    if where == "start":
+        lens = [1100, 800] + small
+    elif where == "end":
+        lens = small + [800, 1100]
+    else:  # adjacent, mid-array
+        mid = len(small) // 2
+        lens = small[:mid] + [1100, 800] + small[mid:]
+    offs, cnt = _lens_to_offs(lens)
+    plan = splitsort._window_dispatch(offs, total, cnt)
+    assert plan is not None and "split" in plan, plan
+    keys = (prng.hybrid_taus_bits(total, seed=32) & jnp.uint32(0xFF)).view(
+        jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt, total)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+
+
+def test_length_class_split_length1_bulk():
+    """All-length-1 bulk (ml_small == 1): no bulk sort is needed or run;
+    only the long tail is compact-sorted-expanded."""
+    total = 1 << 12
+    lens = [1] * (total - 800)
+    lens.insert(1000, 800)
+    offs, cnt = _lens_to_offs(lens)
+    plan = splitsort._window_dispatch(offs, total, cnt)
+    assert plan is not None and "split" in plan, plan
+    assert plan["split"]["ml"] == 1
+    keys = prng.hybrid_taus_bits(total, seed=33).view(jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt, total)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
