@@ -243,34 +243,36 @@ class TuningParameters:
         return 1 << (rows.bit_length() - 1)
 
 
-# radix_tile_rows: v5e row measured by benches/ablate_radix16.py +
-# /tmp-style sweeps (2^24 keys, round 2): tile 256 -> 0.141 Gkeys/s,
-# 512 -> 0.162, 1024 -> 0.158, 2048 -> 0.171 (best; accumulators fit the
-# scoped-VMEM budget at 1 operand).  PAIRS carries 2x the accumulator
-# VMEM, so its tile halves.  Other generations are derived, not measured
-# (no hardware this round): v5p/v6e get the v5e tile (same VMEM class,
-# more bandwidth headroom); v4's slower HBM favors the smaller tile that
-# overlaps DMA more aggressively.
+# radix_tile_rows: v5e rows measured by benches/ablate_radix16.py
+# (2^24 keys, round 2): tile 256 -> 0.141 Gkeys/s, 512 -> 0.162,
+# 1024 -> 0.158, 2048 -> 0.171 (best).  PAIRS swept on hardware in
+# round 3 (2^22 pairs): 256 -> 0.111 Gpairs/s, 512 -> 0.118,
+# 1024 -> 0.139, 2048 -> 0.150 (best) — the round-2 "pairs carries 2x
+# accumulator VMEM so its tile halves" derivation measured WRONG; the
+# larger tile's DMA amortization wins for pairs too.  Other generations
+# are derived, not measured (no hardware): v5p/v6e get the v5e tiles
+# (same VMEM class, more bandwidth headroom); v4's slower HBM favors a
+# smaller tile that overlaps DMA more aggressively.
 _TUNING_TABLE = {
     # generation -> (mode -> TuningParameters)
     "v4": {
         Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 1024),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 512),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
     },
     "v5e": {
         Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 2048,
                                          measured=True),
-        # pairs tile not yet hardware-swept (keys-only was, round 2);
-        # benches/ablate_radix16.py --pairs flips this once run
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
+        # round-3 hardware sweep (benches/ablate_radix16.py 24 --pairs)
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 2048,
+                                     measured=True),
     },
     "v5p": {
         Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 2048),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 2048),
     },
     "v6e": {
         Mode.KEYS_ONLY: TuningParameters(2048, 7, 1 << 17, 110 << 20, 2048),
-        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 1024),
+        Mode.PAIRS: TuningParameters(1024, 7, 1 << 16, 110 << 20, 2048),
     },
 }
 _GENERIC_TUNING = {
