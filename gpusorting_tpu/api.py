@@ -69,10 +69,22 @@ class GPUSorterBase:
 
     variant = "onesweep"
 
-    def __init__(self, config: SortConfig | None = None, **kw):
+    def __init__(self, config: SortConfig | None = None, tuning=None, **kw):
+        """tuning: optional manual TuningParameters override — the analog of
+        the reference's chained constructors that accept explicit tuning
+        instead of the device-table lookup (GPUSortBase.h:57-155).  When
+        given, its radix_tile_rows is threaded to the PALLAS radix engines
+        (measured knob: tile 512 trades ~6% uniform peak for a 12%
+        low-entropy win on v5e — benches/RESULTS.md entropy section)."""
         self.config = config or SortConfig(**kw)
         self.device_info = get_device_info()
-        self.tuning = get_tuning_parameters(self.device_info, self.config.mode)
+        self._manual_tuning = tuning is not None
+        self.tuning = tuning if tuning is not None else get_tuning_parameters(
+            self.device_info, self.config.mode)
+
+    @property
+    def _tile_override(self):
+        return self.tuning.radix_tile_rows if self._manual_tuning else None
 
     # -- sorting ----------------------------------------------------------
     def sort(self, keys: jnp.ndarray, values: jnp.ndarray | None = None):
@@ -83,6 +95,7 @@ class GPUSorterBase:
                 order=self.config.order,
                 backend=self.config.backend,
                 variant=self.variant,
+                tile_rows=self._tile_override,
             )
         return ops.sort_pairs(
             keys,
@@ -90,6 +103,7 @@ class GPUSorterBase:
             order=self.config.order,
             backend=self.config.backend,
             variant=self.variant,
+            tile_rows=self._tile_override,
         )
 
     def make_sort_fn(self, pairs: bool = False):
@@ -97,12 +111,14 @@ class GPUSorterBase:
         if pairs:
             return jax.jit(
                 lambda k, v: ops.sort_pairs(
-                    k, v, self.config.order, self.config.backend, self.variant
+                    k, v, self.config.order, self.config.backend,
+                    self.variant, self._tile_override
                 )
             )
         return jax.jit(
             lambda k: ops.sort(
-                k, self.config.order, self.config.backend, self.variant
+                k, self.config.order, self.config.backend, self.variant,
+                self._tile_override
             )
         )
 

@@ -36,6 +36,7 @@ def sort(
     order: Order = Order.ASCENDING,
     backend: Backend = Backend.AUTO,
     variant: str = "onesweep",
+    tile_rows: int | None = None,
 ) -> jnp.ndarray:
     """Sort a 1-D array of u32/i32/f32 keys.
 
@@ -44,13 +45,18 @@ def sort(
     (4-bit x 8-pass FidelityFX-style baseline) — reference algorithm families
     (README.md:5-15).  Backends may implement variants identically when the
     distinction is meaningless on TPU; outputs are identical by contract.
+
+    tile_rows: manual tuning override for the PALLAS radix engines (the
+    reference's manual TuningParameters constructors, GPUSortBase.h:57-155);
+    ignored by the XLA backend.
     """
     _check_lengths(keys)
     b = _resolve(backend)
     if b == Backend.PALLAS:
         from . import radix
 
-        return radix.sort(keys, order=order, variant=variant)
+        return radix.sort(keys, order=order, variant=variant,
+                          tile_rows=tile_rows)
     return xla_sort.sort_keys(keys, order=order)
 
 
@@ -61,6 +67,7 @@ def sort_pairs_wide(
     order: Order = Order.ASCENDING,
     backend: Backend = Backend.AUTO,
     variant: str = "onesweep",
+    tile_rows: int | None = None,
 ):
     """Stable pair sort with a 64-bit payload as two u32 planes (lo, hi).
 
@@ -82,7 +89,7 @@ def sort_pairs_wide(
             sc, slo, shi = radix16._sort_radix16(
                 (codec.encode_keys(keys), lo.view(jnp.uint32),
                  hi.view(jnp.uint32)),
-                radix16._default_tile_rows(pairs=True))
+                tile_rows or radix16._default_tile_rows(pairs=True))
         else:
             from . import bitonic
 
@@ -104,12 +111,18 @@ def sort_pairs(
     order: Order = Order.ASCENDING,
     backend: Backend = Backend.AUTO,
     variant: str = "onesweep",
+    tile_rows: int | None = None,
 ):
-    """Stable sort of (keys, payload) pairs; payload moved by bit pattern."""
+    """Stable sort of (keys, payload) pairs; payload moved by bit pattern.
+
+    tile_rows: manual tuning override for the PALLAS radix engines (see
+    `sort`); ignored by the XLA backend.
+    """
     _check_lengths(keys, values)
     b = _resolve(backend)
     if b == Backend.PALLAS:
         from . import radix
 
-        return radix.sort_pairs(keys, values, order=order, variant=variant)
+        return radix.sort_pairs(keys, values, order=order, variant=variant,
+                                tile_rows=tile_rows)
     return xla_sort.sort_pairs(keys, values, order=order)

@@ -59,13 +59,22 @@ def is_native() -> bool:
     return False
 
 
-def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "onesweep"):
+def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "onesweep",
+         tile_rows: int | None = None):
     """Native-path typed key sort (keys-only; radix order on codes).
 
     variant "device_radix" selects the native LSD radix-16 engine
     (ops/radix16.py — the reduce-then-scan / OneSweep-equivalent pipeline,
     runs under interpret mode off-TPU); "splitsweep" selects the hybrid;
     other variants use the sorting network.
+
+    tile_rows overrides the tuner's radix tile for the engines that take
+    one (device_radix/splitsweep/emulated_deadlocking) — the manual-tuning
+    analog of the reference's TuningParameters constructors
+    (GPUSortBase.h:57-155).  Measured use case: tile 512 trades ~6% uniform
+    peak for a 12% low-entropy win via the tile-occupancy gate
+    (benches/RESULTS.md entropy section).  "ffx" ignores it (fixed tuning
+    is that baseline's identity); the network sizes its own tiles.
     """
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
@@ -73,7 +82,7 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
         # the 3-phase reduce-then-scan pipeline (DeviceRadixSort analog)
         from . import rts
 
-        sc = rts.sort_codes_rts(codes)
+        sc = rts.sort_codes_rts(codes, tile_rows=tile_rows)
     elif variant == "ffx":
         # the REAL FFX pipeline: Count -> CountReduce -> Scan -> ScanAdd ->
         # Scatter, two-level scan hierarchy at fixed tuning (ops/ffx.py;
@@ -87,12 +96,14 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
         # segmented tile ranges with explicit carry handoff (radix16 docs)
         from . import radix16
 
+        tr = tile_rows or radix16._default_tile_rows()
         sc = radix16.sort_codes_radix16(
-            codes, segments=radix16.adversarial_segments(codes.shape[0]))
+            codes, tile_rows=tr,
+            segments=radix16.adversarial_segments(codes.shape[0], tr))
     elif variant == "splitsweep":
         from . import splitsweep
 
-        sc = splitsweep.sort_codes_splitsweep(codes)
+        sc = splitsweep.sort_codes_splitsweep(codes, tile_rows=tile_rows)
     elif variant == "mergesweep":
         from . import mergesweep
 
@@ -110,11 +121,13 @@ def sort_pairs(
     values: jnp.ndarray,
     order: Order = Order.ASCENDING,
     variant: str = "onesweep",
+    tile_rows: int | None = None,
 ):
     """Native-path stable pair sort; bit-exact with xla_sort.sort_pairs.
 
     variant "device_radix" routes 32-bit payloads through the native LSD
-    radix-16 pipeline on TPU (ops/radix16.py).
+    radix-16 pipeline on TPU (ops/radix16.py).  tile_rows overrides the
+    tuner's radix tile where the engine takes one (see `sort`).
     """
     kt = codec.key_type_of(keys)
     bits = codec.payload_to_bits(values)
@@ -128,12 +141,13 @@ def sort_pairs(
     elif variant == "device_radix":
         from . import rts
 
-        sc, sbits = rts.sort_pairs_rts(codec.encode_keys(keys), bits)
+        sc, sbits = rts.sort_pairs_rts(codec.encode_keys(keys), bits,
+                                       tile_rows=tile_rows)
     elif variant == "splitsweep":
         from . import splitsweep
 
         sc, sbits = splitsweep.sort_pairs_splitsweep(
-            codec.encode_keys(keys), bits)
+            codec.encode_keys(keys), bits, tile_rows=tile_rows)
     elif variant == "mergesweep":
         from . import mergesweep
 
@@ -142,9 +156,10 @@ def sort_pairs(
     elif variant == "emulated_deadlocking":
         from . import radix16
 
-        segs = radix16.adversarial_segments(keys.shape[0])
+        tr = tile_rows or radix16._default_tile_rows(pairs=True)
+        segs = radix16.adversarial_segments(keys.shape[0], tr)
         sc, sbits = radix16.sort_pairs_radix16(
-            codec.encode_keys(keys), bits, segments=segs)
+            codec.encode_keys(keys), bits, tile_rows=tr, segments=segs)
     elif variant == "ffx":
         from . import ffx
 
