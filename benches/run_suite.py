@@ -124,11 +124,14 @@ def main():
             repeats=3)
         emit("native_rts_keys_2^24", res["keys_per_sec"], n,
              {"engine": "pallas_rts_3phase"})
+        # the REAL 5-stage FFX pipeline (ops/ffx.py; the round-2 row timed
+        # radix16 at tile 256 — the relabel this engine replaced)
+        from gpusorting_tpu.ops import ffx as ffx_mod
         res = timing.batch_timing(
-            lambda c: radix16.sort_codes_radix16(c, tile_rows=256), n,
-            batch=3, seed=10, repeats=3)
+            lambda c: ffx_mod.sort_codes_ffx(c), n, batch=3, seed=10,
+            repeats=3)
         emit("ffx_baseline_keys_2^24", res["keys_per_sec"], n,
-             {"engine": "pallas_radix16_fixed_tuning"})
+             {"engine": "pallas_ffx_5stage"})
 
     # --- segmented sort sweep (fixed-length bins; Kobus-style) ---
     total = 1 << 22 if on_tpu else 1 << 14
@@ -146,6 +149,21 @@ def main():
                                   repeats=2)
         emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
              {"engine": "batched", "segments": int(S)})
+
+    # giant fixed segments: L >= _MAP_FIXED_MIN routes to the lax.map
+    # per-segment flat sort (r3; the SortGt8192 grid-strided region)
+    if on_tpu and "segsort" in sections:
+        L = 1 << 18
+        offs, S = prng.make_fixed_segments(total, L)
+
+        def seg_fn_g(codes, offs=offs, S=S):
+            k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
+            return k
+
+        res = timing.batch_timing(seg_fn_g, total, batch=20, seed=10,
+                                  repeats=2)
+        emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
+             {"engine": "mapped_flat", "segments": int(S)})
 
     # (u32, f64-as-dual-planes) pairs — the reference's 64-bit payload chart
     # (README.md:13-21 benches (u32,u32) AND (u32,f64))

@@ -73,6 +73,14 @@ def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
     return int(L)
 
 
+# Fixed-length giant-segment crossover: at L >= 2^17 a `lax.map` of flat
+# per-segment sorts beats the batched minor-axis sort (r3 hardware probe,
+# 2^22 total pairs: L=2^18 map 1.21 G vs batched 0.62 G — 1.95x; L=2^16
+# within noise; L=2^14 batched wins 2.51 vs 2.10).  Same mechanism as the
+# flagship lax.map discovery: each mapped sort stays VMEM-resident.
+_MAP_FIXED_MIN = 131072
+
+
 def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     """Fixed-length fast path: reshape to (S, L) and run one batched sort.
 
@@ -81,14 +89,27 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     segments (probes/PROBES.md).  This is the TPU-native analog of the
     reference's per-bin specialized kernels (SplitSort.cuh:751-930): the
     "bin" is the static row length, the batch axis replaces the grid.
+    Giant fixed segments (L >= _MAP_FIXED_MIN) run as a `lax.map` of flat
+    per-segment sorts instead (the reference's grid-strided SortGt8192
+    region, SplitSort.cuh:455-573).
     """
     k2 = codes.reshape(seg_count, L)
     if payload_bits is None:
         # keys-only on bare codes: the all-keys invariant holds
-        (sk,) = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
+        if L >= _MAP_FIXED_MIN:
+            sk = jax.lax.map(
+                lambda r: xla_sort.sort_all_keys_unstable((r,))[0], k2)
+        else:
+            (sk,) = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
         return sk.reshape(-1), None
     v2 = payload_bits.reshape(seg_count, L)
-    sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True, dimension=1)
+    if L >= _MAP_FIXED_MIN:
+        sk, sv = jax.lax.map(
+            lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
+            (k2, v2))
+    else:
+        sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True,
+                              dimension=1)
     return sk.reshape(-1), sv.reshape(-1)
 
 
@@ -500,9 +521,14 @@ def split_sort_pairs_wide(
     L = _fixed_length_of(seg_offsets, total, total_seg_count)
     if L is not None and L > 1:
         S = total_seg_count
-        sc, slo, shi = jax.lax.sort(
-            (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L)),
-            num_keys=1, is_stable=True, dimension=1)
+        ops3 = (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L))
+        if L >= _MAP_FIXED_MIN:
+            sc, slo, shi = jax.lax.map(
+                lambda abc: jax.lax.sort(abc, num_keys=1, is_stable=True),
+                ops3)
+        else:
+            sc, slo, shi = jax.lax.sort(ops3, num_keys=1, is_stable=True,
+                                        dimension=1)
         sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
     else:
         res = _dispatch_random_lengths(

@@ -385,3 +385,32 @@ def test_length_class_split_length1_bulk():
     ck, cv = _seg_oracle(offs, total, keys, vals)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+
+
+def test_fixed_length_giant_map_path():
+    """Fixed L >= _MAP_FIXED_MIN routes to the lax.map per-segment flat
+    sort (the SortGt8192 grid-strided region analog); oracle-exact for
+    keys, pairs, and the 64-bit wide payload form."""
+    L = splitsort._MAP_FIXED_MIN
+    S = 2
+    total = S * L
+    offs = jnp.asarray(np.arange(S, dtype=np.uint32) * L)
+    keys = (prng.hybrid_taus_bits(total, seed=41) & jnp.uint32(0xFFFF)).view(
+        jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+
+    out = gst.split_sort_keys(offs, keys, S)
+    ck, _ = _seg_oracle(offs, total, keys)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ck))
+
+    sk, sv = gst.split_sort_pairs(offs, keys, vals, S, total)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
+
+    hi = vals * jnp.uint32(7)
+    wk, wlo, whi = gst.split_sort_pairs_wide(offs, keys, vals, hi, S, total)
+    _, chi = _seg_oracle(offs, total, keys, hi)
+    np.testing.assert_array_equal(np.asarray(wk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(wlo), np.asarray(cv))
+    np.testing.assert_array_equal(np.asarray(whi), np.asarray(chi))
