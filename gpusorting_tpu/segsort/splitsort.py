@@ -307,6 +307,69 @@ def _windowed_segmented_sort(seg_offsets, codes, payloads, seg_count: int,
     return c2, p2
 
 
+def _packed_bins_segmented_sort(seg_offsets, codes, payloads: tuple,
+                                seg_count: int, total: int,
+                                capacity: int = 32):
+    """NextFitBinPacking-driven execution — the SplitSortBins32 analog.
+
+    Reference: NextFitBinPacking packs runs of <=32-length segments into
+    32-key bins so one warp sorts a whole bin (SplitSortBinning.cuh:360-438,
+    SplitSortVariants.cuh:386-451).  Next-fit packs CONSECUTIVE segments,
+    so each bin is a contiguous element span of length <= capacity: gather
+    the spans into dense (bins, capacity) rows (row-coalesced: idx[b, j] =
+    span_start[b] + j), run ONE stable batched row sort keyed by
+    (segment id, code), and scatter rows back to their spans.
+
+    This is the executed alternative to the two-window path for
+    maxlen <= capacity workloads.  Note the equivalence that makes windows
+    the default: the window grids ARE next-fit packing with capacity L/2
+    and zero data movement — every window is a fixed-capacity span of
+    whole segments, with the one possible straddler handled by the second
+    (offset) grid.  The packed form pays a gather + scatter to halve the
+    row width; benches/RESULTS.md records the hardware comparison.
+    """
+    n = codes.shape[0]
+    offs = np.asarray(seg_offsets, dtype=np.int64)
+    lens = segment_lengths(offs, total)
+    if lens.size and int(lens.max()) > capacity:
+        raise ValueError(
+            f"packed strategy requires every segment length <= {capacity}")
+    bin_ids, nbins = next_fit_bin_packing(lens, capacity)
+    if nbins == 0 or n == 0:
+        return codes, payloads
+    # first packable segment of each bin (bin_ids nondecreasing; all
+    # segments are packable here)
+    first_seg = np.searchsorted(bin_ids, np.arange(nbins), side="left")
+    span_start = offs[first_seg]
+    span_end = np.append(span_start[1:], np.int64(total))
+
+    sid = xla_sort.segment_ids_from_offsets(seg_offsets, n).astype(jnp.int32)
+    starts = jnp.asarray(span_start.astype(np.int32))
+    ends = jnp.asarray(span_end.astype(np.int32))
+    idx = starts[:, None] + jnp.arange(capacity, dtype=jnp.int32)[None, :]
+    pad = idx >= ends[:, None]
+    safe = jnp.minimum(idx, jnp.int32(n - 1))
+    s2 = jnp.where(pad, jnp.int32(0x7FFFFFFF), sid[safe])
+    c2 = jnp.where(pad, jnp.uint32(0xFFFFFFFF), codes[safe])
+    p2 = tuple(jnp.where(pad, jnp.uint32(0), p[safe]) for p in payloads)
+
+    if payloads:
+        res = jax.lax.sort((s2, c2) + p2, num_keys=2, is_stable=True,
+                           dimension=1)
+        rows = res[1:]
+    else:
+        # keys-only on bare codes: equal (sid, code) rows interchangeable
+        _, rc = xla_sort.sort_all_keys_unstable((s2, c2), dimension=1)
+        rows = (rc,)
+    # pads sort to row ends (sid 0x7FFFFFFF), so real elements land back on
+    # j < span_len — scatter rows to their spans, dropping pad lanes
+    tgt = jnp.where(pad, jnp.int32(n), idx).reshape(-1)
+    out_c = codes.at[tgt].set(rows[0].reshape(-1), mode="drop")
+    out_p = tuple(p.at[tgt].set(r.reshape(-1), mode="drop")
+                  for p, r in zip(payloads, rows[1:]))
+    return out_c, out_p
+
+
 def _composite_multi(seg_offsets, codes, payloads: tuple, seg_count: int,
                      bits_to_sort: int):
     """Whole-buffer composite (segId || key) sort, any payload count.
@@ -459,19 +522,33 @@ def split_sort_pairs(
     total_seg_length: int | None = None,
     bits_to_sort: int = 32,
     backend: Backend = Backend.AUTO,
+    strategy: str = "auto",
 ):
     """Sort each segment independently; stable within segments.
 
     Reference: SplitSortPairs<BITS_TO_SORT, V> (SplitSort.cuh:702-934).
-    `values=None` gives the keys-only form.
+    `values=None` gives the keys-only form.  `strategy="packed"` forces the
+    NextFitBinPacking gather path (every segment must be <= 32 long and the
+    offsets host-known); "auto" picks by measurement (windows).
     """
     if not (4 <= bits_to_sort <= 32):
         raise ValueError("bits_to_sort must be in [4, 32] (reference contract)")
+    if strategy not in ("auto", "packed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
     bits = None if values is None else codec.payload_to_bits(values)
 
     total = keys.shape[0] if total_seg_length is None else total_seg_length
+    if strategy == "packed":
+        payloads = () if bits is None else (bits,)
+        sc, ps = _packed_bins_segmented_sort(
+            seg_offsets, codes, payloads, total_seg_count, total)
+        sb = ps[0] if bits is not None else None
+        out_k = codec.decode_keys(sc, kt)
+        if values is None:
+            return out_k
+        return out_k, codec.bits_to_payload(sb, values.dtype)
     L = _fixed_length_of(seg_offsets, total, total_seg_count)
     if L is not None and L > 1:
         sc, sb = _batched_segmented_sort(codes, bits, total_seg_count, L)
@@ -597,10 +674,11 @@ def next_fit_bin_packing(lengths, bin_capacity: int = 32):
 
     Reference: NextFitBinPacking packs runs of <=32-length segments into
     32-key bins so one warp sorts a whole bin (SplitSortBinning.cuh:360-438).
-    On TPU the two-window execution path makes packing UNNECESSARY for
-    correctness or speed (segments are sorted in place; no gather into
-    bins), so this is informational metadata: it reports how tightly the
-    reference's warp-bin strategy would have packed the workload.
+    Drives `_packed_bins_segmented_sort` (strategy="packed"): each bin is a
+    contiguous element span gathered into one 32-wide sort row.  The default
+    two-window path is this same packing at capacity L/2 with zero data
+    movement (windows are fixed-capacity spans of whole segments), which is
+    why AUTO routes windows (hardware comparison in benches/RESULTS.md).
     Returns (bin_id per segment, bin_count); segments longer than capacity
     get bin_id -1.
     """

@@ -414,3 +414,55 @@ def test_fixed_length_giant_map_path():
     np.testing.assert_array_equal(np.asarray(wk), np.asarray(ck))
     np.testing.assert_array_equal(np.asarray(wlo), np.asarray(cv))
     np.testing.assert_array_equal(np.asarray(whi), np.asarray(chi))
+
+
+@pytest.mark.parametrize("max_len", [1, 7, 32])
+def test_packed_bins_strategy_pairs(max_len):
+    """strategy="packed": the NextFitBinPacking-driven gather path
+    (SplitSortBins32 analog, SplitSortVariants.cuh:386-451) is bit-exact
+    vs the numpy oracle, payload order included (stability)."""
+    total = 1 << 13
+    offs, cnt = prng.make_random_segments(total, max_len, seed=50 + max_len)
+    keys = prng.make_test_keys(total, seed=51 + max_len)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    out_k, out_v = splitsort.split_sort_pairs(
+        offs, keys, vals, cnt, total, strategy="packed")
+    ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
+    np.testing.assert_array_equal(np.asarray(out_k), ref_k)
+    np.testing.assert_array_equal(np.asarray(out_v), ref_v)
+
+
+def test_packed_bins_strategy_keys_only_and_guards():
+    total = 1 << 12
+    offs, cnt = prng.make_random_segments(total, 32, seed=60)
+    keys = prng.make_test_keys(total, seed=61)
+    out = splitsort.split_sort_pairs(
+        offs, keys, None, cnt, total, strategy="packed")
+    ref, _ = numpy_segmented_oracle(offs, keys)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    # identical output to the AUTO (window) route — cross-strategy oracle
+    auto = splitsort.split_sort_pairs(offs, keys, None, cnt, total)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(auto))
+
+    # a segment longer than the 32 capacity is rejected
+    offs2, cnt2 = prng.make_random_segments(total, 200, seed=62)
+    with pytest.raises(ValueError):
+        splitsort.split_sort_pairs(
+            offs2, keys, None, cnt2, total, strategy="packed")
+    with pytest.raises(ValueError):
+        splitsort.split_sort_pairs(offs, keys, None, cnt, total,
+                                   strategy="bogus")
+
+
+def test_packed_bins_all_equal_keys_stability():
+    """All-equal keys: packed path must preserve original payload order
+    within each segment (stable row sort keyed by (sid, code))."""
+    total = 4096
+    offs, cnt = prng.make_random_segments(total, 20, seed=70)
+    keys = jnp.full((total,), 0xABCD1234, jnp.uint32)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    out_k, out_v = splitsort.split_sort_pairs(
+        offs, keys, vals, cnt, total, strategy="packed")
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(keys))
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(vals))
