@@ -579,6 +579,7 @@ def split_sort_pairs_wide(
     total_seg_count: int,
     total_seg_length: int | None = None,
     bits_to_sort: int = 32,
+    strategy: str = "auto",
 ):
     """Segmented pair sort with a 64-bit payload as two u32 planes.
 
@@ -588,6 +589,8 @@ def split_sort_pairs_wide(
     """
     if not (4 <= bits_to_sort <= 32):
         raise ValueError("bits_to_sort must be in [4, 32] (reference contract)")
+    if strategy not in ("auto", "packed"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
     lo32 = lo.view(jnp.uint32)
@@ -595,6 +598,10 @@ def split_sort_pairs_wide(
     total = keys.shape[0] if total_seg_length is None else total_seg_length
     n = codes.shape[0]
 
+    if strategy == "packed":
+        sc, (slo, shi) = _packed_bins_segmented_sort(
+            seg_offsets, codes, (lo32, hi32), total_seg_count, total)
+        return codec.decode_keys(sc, kt), slo.view(lo.dtype), shi.view(hi.dtype)
     L = _fixed_length_of(seg_offsets, total, total_seg_count)
     if L is not None and L > 1:
         S = total_seg_count
@@ -626,9 +633,11 @@ def split_sort_keys(
     total_seg_count: int,
     bits_to_sort: int = 32,
     backend: Backend = Backend.AUTO,
+    strategy: str = "auto",
 ):
     return split_sort_pairs(
-        seg_offsets, keys, None, total_seg_count, None, bits_to_sort, backend
+        seg_offsets, keys, None, total_seg_count, None, bits_to_sort, backend,
+        strategy
     )
 
 
@@ -707,7 +716,8 @@ class SplitSorter:
         self.total_seg_length = total_seg_length
         self.total_seg_count = total_seg_count
 
-    def sort_pairs(self, seg_offsets, keys, values, bits_to_sort: int = 32):
+    def sort_pairs(self, seg_offsets, keys, values, bits_to_sort: int = 32,
+                   strategy: str = "auto"):
         return split_sort_pairs(
             seg_offsets,
             keys,
@@ -715,11 +725,14 @@ class SplitSorter:
             self.total_seg_count,
             self.total_seg_length,
             bits_to_sort,
+            strategy=strategy,
         )
 
-    def sort_keys(self, seg_offsets, keys, bits_to_sort: int = 32):
+    def sort_keys(self, seg_offsets, keys, bits_to_sort: int = 32,
+                  strategy: str = "auto"):
         return split_sort_keys(
-            seg_offsets, keys, self.total_seg_count, bits_to_sort
+            seg_offsets, keys, self.total_seg_count, bits_to_sort,
+            strategy=strategy
         )
 
     def close(self):

@@ -466,3 +466,26 @@ def test_packed_bins_all_equal_keys_stability():
         offs, keys, vals, cnt, total, strategy="packed")
     np.testing.assert_array_equal(np.asarray(out_k), np.asarray(keys))
     np.testing.assert_array_equal(np.asarray(out_v), np.asarray(vals))
+
+
+def test_packed_bins_wide_payload_and_sorter_object():
+    """Packed strategy through the wide (two-plane) form and the
+    SplitSorter object surface."""
+    total = 1 << 12
+    offs, cnt = prng.make_random_segments(total, 24, seed=80)
+    keys = prng.make_test_keys(total, seed=81)
+    lo = jnp.arange(total, dtype=jnp.uint32)
+    hi = lo * jnp.uint32(3)
+    wk, wlo, whi = splitsort.split_sort_pairs_wide(
+        offs, keys, lo, hi, cnt, total, strategy="packed")
+    ak, alo, ahi = splitsort.split_sort_pairs_wide(
+        offs, keys, lo, hi, cnt, total)
+    np.testing.assert_array_equal(np.asarray(wk), np.asarray(ak))
+    np.testing.assert_array_equal(np.asarray(wlo), np.asarray(alo))
+    np.testing.assert_array_equal(np.asarray(whi), np.asarray(ahi))
+
+    sorter = splitsort.SplitSorter(total, cnt)
+    sk = sorter.sort_keys(offs, keys, strategy="packed")
+    rk = sorter.sort_keys(offs, keys)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
+    sorter.close()
