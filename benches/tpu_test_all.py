@@ -120,6 +120,28 @@ def main():
     print(f"[segsort length-class split] {ok} / {len(split_cases)} passed",
           flush=True)
 
+    # 5c. packed-bins strategy on hardware: the NextFitBinPacking-driven
+    #     gather path (SplitSortBins32 analog) must be bit-exact with the
+    #     AUTO (window) route for a <=32-length workload, keys and pairs.
+    tot_p = 1 << 20
+    offs_p, S_p = prng.make_random_segments(tot_p, 32, seed=21)
+    keys_p, vals_p = prng.make_test_pairs(tot_p, 23)
+    pk, pv = gst.split_sort_pairs(offs_p, keys_p, vals_p, S_p, tot_p,
+                                  strategy="packed")
+    ak, av = gst.split_sort_pairs(offs_p, keys_p, vals_p, S_p, tot_p)
+    pok = (int(validate.identical(pk.view(jnp.uint32),
+                                  ak.view(jnp.uint32))) == 0 and
+           int(validate.identical(pv.view(jnp.uint32),
+                                  av.view(jnp.uint32))) == 0)
+    pk2 = gst.split_sort_keys(offs_p, keys_p, S_p, strategy="packed")
+    ak2 = gst.split_sort_keys(offs_p, keys_p, S_p)
+    pok2 = int(validate.identical(pk2.view(jnp.uint32),
+                                  ak2.view(jnp.uint32))) == 0
+    print(f"[segsort packed bins] {int(pok) + int(pok2)} / 2 passed",
+          flush=True)
+    report.record(pok, "packed-bins pairs == auto")
+    report.record(pok2, "packed-bins keys == auto")
+
     # 6. building-block kernels on hardware
     from gpusorting_tpu.ops import kernels
     n = 1 << 20
