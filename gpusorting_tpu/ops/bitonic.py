@@ -208,6 +208,13 @@ def sort_network_i32(operands, num_keys: int, interpret: bool | None = None):
 
     Pure network core: key operands must already be sign-biased if they
     encode u32 codes.
+
+    PAD-TIE INVARIANT (shared with mergesweep.merge_sort_network_i32): the
+    network is unstable and pads EVERY operand with int32 max.  When
+    num_keys < len(operands), callers must make real key tuples strictly
+    smaller than the all-max pad tuple — e.g. a bounded index tiebreak as
+    the last key (sort_codes_stable_with's idx < n).  Keys-only calls are
+    always safe: max-tied elements are interchangeable.
     """
     if interpret is None:
         interpret = not _is_tpu()

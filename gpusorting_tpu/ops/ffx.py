@@ -38,9 +38,7 @@ import jax.numpy as jnp
 
 from . import kernels as _kernels
 from .radix16 import LANES, NBUCKETS, _is_tpu, _within_row_sort_schedule
-from .rts import _MAX_TILES_PER_CALL, _build_downsweep
-
-import jax
+from .rts import run_downsweep_chunks
 
 # FFX fixed tuning: one tile size for every device (FFXParallelSort.cpp:
 # 28-43 hardcodes 2048 keys/threadgroup); 256 rows x 128 lanes here.
@@ -90,19 +88,10 @@ def _sort_ffx(operands, interpret: bool | None = None):
         table = (within + base.T[:, None, :]).reshape(
             nblk * _TILES_PER_BLOCK, NBUCKETS)[:total_tiles]      # (T,16)
         table_dm = table.T                                        # (16,T)
-        # --- Scatter: table-driven downsweep at the fixed tile ---
-        prev = [jnp.zeros((rows + 2, LANES), jnp.int32)
-                for _ in range(num_ops)]
-        a = 0
-        while a < total_tiles:
-            b = min(a + _MAX_TILES_PER_CALL, total_tiles)
-            call = _build_downsweep(rows, tile_rows, num_ops, b - a,
-                                    interpret, first_chunk=a == 0)
-            chunk_table = table_dm[:, a:b].reshape(-1)
-            seg_xs = [x[a * tile_rows:b * tile_rows] for x in xs]
-            prev = list(call(sched, shift, chunk_table, *seg_xs, *prev))
-            a = b
-        xs = [y[:rows] for y in prev]
+        # --- Scatter: table-driven downsweep at the fixed tile (shared
+        # chunk driver, rts.run_downsweep_chunks) ---
+        xs = run_downsweep_chunks(xs, table_dm, sched, shift, rows,
+                                  tile_rows, num_ops, total_tiles, interpret)
     return tuple(y.reshape(-1)[:n].view(jnp.uint32) for y in xs)
 
 

@@ -40,7 +40,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -82,7 +81,7 @@ def _merge_tail_kernel(ctrl_ref, *refs, num_ops: int, num_keys: int,
                        num_lane_stages: int):
     """All strides j < tile_elems of one merge pass k, fused.
 
-    ctrl = [k_row (k//128), jr_top (top row stride), k_lane_mask].
+    ctrl = [k_row (k//128), jr_top (top row stride)].
     Row stages run jr = jr_top >> s; lane stages run j = 64 >> s.  The
     k-direction bit is hoisted out of both loops (constant per pass), and
     there is no per-stage branch — the round-2 kernel's 6x-off-floor cost
@@ -273,7 +272,7 @@ def _run_merge_pass(ops, k, R, tile_rows, num_ops, num_keys, interpret):
     num_lane_stages = 7  # 64..1 (LANES=128)
     tail = _build_merge_tail(num_ops, num_keys, tile_rows, num_row_stages,
                              num_lane_stages, grid, interpret)
-    ctrl = jnp.asarray([k_row, jr_top, 0], jnp.int32)
+    ctrl = jnp.asarray([k_row, jr_top], jnp.int32)
     return tuple(tail(ctrl, *ops))
 
 
@@ -288,6 +287,15 @@ def merge_sort_network_i32(
 
     Key operands must already be sign-biased if they encode u32 codes
     (same contract as bitonic.sort_network_i32).
+
+    PAD-TIE INVARIANT (shared with bitonic.sort_network_i32): the network
+    is unstable and pads EVERY operand with int32 max.  When num_keys <
+    len(operands), a real element whose key tuple equals the all-max pad
+    tuple could receive pad fill in its non-key operands — callers must
+    make real key tuples strictly smaller than all-max, e.g. by passing a
+    bounded index tiebreak as the last key (what sort_codes_stable_with
+    does: idx < n <= int32 max).  Keys-only calls (num_keys ==
+    len(operands)) are always safe: max-tied elements are interchangeable.
     """
     if interpret is None:
         interpret = not _is_tpu()

@@ -247,19 +247,31 @@ def _sort_rts(operands, tile_rows: int, interpret: bool | None = None):
             th.T.reshape(-1), interpret=interpret)               # (16*T,)
         table2 = table.reshape(NBUCKETS, total_tiles)
         # Downsweep, chunked so the cursor table rides SMEM
-        prev = [jnp.zeros((rows + 2, LANES), jnp.int32)
-                for _ in range(num_ops)]
-        a = 0
-        while a < total_tiles:
-            b = min(a + _MAX_TILES_PER_CALL, total_tiles)
-            call = _build_downsweep(rows, tile_rows, num_ops, b - a,
-                                    interpret, first_chunk=a == 0)
-            chunk_table = table2[:, a:b].reshape(-1)
-            seg_xs = [x[a * tile_rows:b * tile_rows] for x in xs]
-            prev = list(call(sched, shift, chunk_table, *seg_xs, *prev))
-            a = b
-        xs = [y[:rows] for y in prev]
+        xs = run_downsweep_chunks(xs, table2, sched, shift, rows, tile_rows,
+                                  num_ops, total_tiles, interpret)
     return tuple(y.reshape(-1)[:n].view(jnp.uint32) for y in xs)
+
+
+def run_downsweep_chunks(xs, table_dm, sched, shift, rows, tile_rows,
+                         num_ops, total_tiles, interpret):
+    """One pass's table-driven scatter, chunked so the cursor table rides
+    SMEM (<= _MAX_TILES_PER_CALL tiles per pallas_call; the >65535-dispatch
+    flattening analog).  `table_dm` is the digit-major (NBUCKETS,
+    total_tiles) cursor table.  Shared by the 3-phase rts pipeline and the
+    ffx 5-stage baseline (ops/ffx.py) so the chunking contract — the
+    first_chunk flag and the rows+2 slack-row convention of
+    _build_downsweep — lives in exactly one place."""
+    prev = [jnp.zeros((rows + 2, LANES), jnp.int32) for _ in range(num_ops)]
+    a = 0
+    while a < total_tiles:
+        b = min(a + _MAX_TILES_PER_CALL, total_tiles)
+        call = _build_downsweep(rows, tile_rows, num_ops, b - a,
+                                interpret, first_chunk=a == 0)
+        chunk_table = table_dm[:, a:b].reshape(-1)
+        seg_xs = [x[a * tile_rows:b * tile_rows] for x in xs]
+        prev = list(call(sched, shift, chunk_table, *seg_xs, *prev))
+        a = b
+    return [y[:rows] for y in prev]
 
 
 def sort_codes_rts(codes: jnp.ndarray, tile_rows: int | None = None,

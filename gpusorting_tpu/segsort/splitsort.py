@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import codec
-from ..core.config import Backend
+from ..core.config import KeyType
 from ..ops import xla_sort
 
 
@@ -47,6 +47,18 @@ def split_sort_allocate_temp_memory(total_seg_length: int, total_seg_count: int)
 def split_sort_free_temp_memory(handle) -> None:
     """API-parity shim (reference: SplitSort.cuh:692-697)."""
     del handle
+
+
+def _check_bounded_bits(bits_to_sort: int, kt: KeyType) -> None:
+    """bits_to_sort < 32 is a bound on the RAW u32 key value (reference:
+    masked u32 fixtures, UtilityKernels.cuh:170-248; SplitSort keys are
+    uint32_t, SplitSort.cuh:702).  i32/f32 keys encode with the top bit
+    set (codec.encode_keys), so a bounded-bits fused/composite key would
+    silently truncate them — reject instead."""
+    if bits_to_sort < 32 and kt != KeyType.UINT32:
+        raise ValueError(
+            "bits_to_sort < 32 applies to uint32 keys only (the reference's "
+            f"SplitSort key type); got {kt.name} keys")
 
 
 def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
@@ -329,7 +341,14 @@ def _packed_bins_segmented_sort(seg_offsets, codes, payloads: tuple,
     row width; benches/RESULTS.md records the hardware comparison.
     """
     n = codes.shape[0]
-    offs = np.asarray(seg_offsets, dtype=np.int64)
+    try:
+        offs = np.asarray(seg_offsets, dtype=np.int64)
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        raise ValueError(
+            "strategy='packed' requires host-known (concrete) offsets — "
+            "under jit, pass offsets as a captured numpy array or use "
+            "strategy='auto' (composite fallback)") from None
     lens = segment_lengths(offs, total)
     if lens.size and int(lens.max()) > capacity:
         raise ValueError(
@@ -521,7 +540,6 @@ def split_sort_pairs(
     total_seg_count: int,
     total_seg_length: int | None = None,
     bits_to_sort: int = 32,
-    backend: Backend = Backend.AUTO,
     strategy: str = "auto",
 ):
     """Sort each segment independently; stable within segments.
@@ -536,6 +554,7 @@ def split_sort_pairs(
     if strategy not in ("auto", "packed"):
         raise ValueError(f"unknown strategy {strategy!r}")
     kt = codec.key_type_of(keys)
+    _check_bounded_bits(bits_to_sort, kt)
     codes = codec.encode_keys(keys)
     bits = None if values is None else codec.payload_to_bits(values)
 
@@ -592,6 +611,7 @@ def split_sort_pairs_wide(
     if strategy not in ("auto", "packed"):
         raise ValueError(f"unknown strategy {strategy!r}")
     kt = codec.key_type_of(keys)
+    _check_bounded_bits(bits_to_sort, kt)
     codes = codec.encode_keys(keys)
     lo32 = lo.view(jnp.uint32)
     hi32 = hi.view(jnp.uint32)
@@ -632,12 +652,11 @@ def split_sort_keys(
     keys: jnp.ndarray,
     total_seg_count: int,
     bits_to_sort: int = 32,
-    backend: Backend = Backend.AUTO,
     strategy: str = "auto",
 ):
     return split_sort_pairs(
-        seg_offsets, keys, None, total_seg_count, None, bits_to_sort, backend,
-        strategy
+        seg_offsets, keys, None, total_seg_count, None, bits_to_sort,
+        strategy=strategy
     )
 
 

@@ -185,3 +185,28 @@ def test_distributed_f32(cpu_mesh):
     np.testing.assert_array_equal(
         np.asarray(codec.encode_keys(out)), ref_codes
     )
+
+
+def test_distributed_empty_raises(cpu_mesh):
+    with pytest.raises(ValueError, match="non-empty"):
+        dist_sort.distributed_sort(jnp.zeros((0,), jnp.uint32), mesh=cpu_mesh)
+
+
+def test_cell_counts_blocked_tail():
+    """Non-2^20-multiple shard sizes use full blocks + a masked tail slice
+    (never a single O(n_local) block): counts must equal the unblocked
+    reference computation."""
+    n_local = (1 << 20) + 257
+    codes = prng.hybrid_taus_bits(n_local, seed=5)
+    gidx = jnp.arange(n_local, dtype=jnp.uint32)
+    spl_c = jnp.asarray([1 << 30, 3 << 30], jnp.uint32)
+    spl_g = jnp.asarray([n_local // 3, n_local // 2], jnp.uint32)
+    counts = np.asarray(dist_sort._cell_counts(codes, gidx, spl_c, spl_g, 3))
+    c = np.asarray(codes)
+    g = np.asarray(gidx)
+    sc, sg = np.asarray(spl_c), np.asarray(spl_g)
+    above = np.array([
+        ((c > sc[d]) | ((c == sc[d]) & (g >= sg[d]))).sum()
+        for d in range(2)])
+    bounds = np.concatenate([[0], n_local - above, [n_local]])
+    np.testing.assert_array_equal(counts, bounds[1:] - bounds[:-1])

@@ -489,3 +489,37 @@ def test_packed_bins_wide_payload_and_sorter_object():
     rk = sorter.sort_keys(offs, keys)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
     sorter.close()
+
+
+def test_bounded_bits_requires_u32_keys():
+    """bits_to_sort < 32 bounds RAW u32 key values (reference: u32 masked
+    fixtures); i32/f32 encodings set the top bit, so they are rejected."""
+    total = 1 << 10
+    offs, cnt = prng.make_random_segments(total, 64, seed=90)
+    ikeys = jnp.arange(total, dtype=jnp.int32) - total // 2
+    with pytest.raises(ValueError, match="uint32"):
+        splitsort.split_sort_keys(offs, ikeys, cnt, bits_to_sort=16)
+    fkeys = ikeys.astype(jnp.float32)
+    with pytest.raises(ValueError, match="uint32"):
+        splitsort.split_sort_pairs(
+            offs, fkeys, jnp.arange(total, dtype=jnp.uint32), cnt, total,
+            bits_to_sort=8)
+    # full-width i32/f32 keys remain fine
+    out = splitsort.split_sort_keys(offs, ikeys, cnt)
+    ref, _ = numpy_segmented_oracle(offs, ikeys)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_packed_under_jit_clear_error():
+    import jax
+
+    total = 1 << 10
+    offs, cnt = prng.make_random_segments(total, 16, seed=91)
+    keys = prng.make_test_keys(total, seed=92)
+
+    def f(o, k):
+        return splitsort.split_sort_pairs(o, k, None, cnt, total,
+                                          strategy="packed")
+
+    with pytest.raises(ValueError, match="host-known"):
+        jax.jit(f)(offs, keys)
