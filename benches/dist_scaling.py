@@ -101,6 +101,22 @@ def main():
         np.asarray(out_v) == np.asarray(vals)[perm]).all() and overflow == 0
     print(json.dumps({"bench": "dist_correctness_D8", "pass": bool(ok)}))
 
+    # remote-DMA exchange transport (parallel/remote_exchange.py): on CPU
+    # this runs the REAL kernel under TPU interpret mode (simulated remote
+    # DMAs — wall time reflects the interpreter, not ICI; fixed cap keeps
+    # it to one kernel shape).  Reported for correctness methodology, not
+    # speed.
+    t0 = time.perf_counter()
+    (rk, rv), rovf = dist_sort.distributed_sort_gather(
+        keys, vals, mesh=mesh, cap_elems=per_device,
+        exchange="remote_dma")
+    dt = time.perf_counter() - t0
+    ok = (np.asarray(rk) == np.asarray(keys)[perm]).all() and (
+        np.asarray(rv) == np.asarray(vals)[perm]).all() and rovf == 0
+    print(json.dumps({"bench": "dist_remote_dma_D8", "pass": bool(ok),
+                      "seconds_incl_compile": dt,
+                      "note": "interpret-mode kernel on CPU mesh"}))
+
 
 if __name__ == "__main__":
     main()

@@ -50,6 +50,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import codec
+from . import remote_exchange
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 _EXCHANGE_CHUNKS = 4
@@ -132,14 +133,22 @@ def _cell_counts(codes, gidx, spl_c, spl_g, n_dev: int) -> jnp.ndarray:
 
 
 def _exchange_and_merge(sorted_ops, counts, n_dev: int, cap: int, axis,
-                        pad_to: int, chunks: int):
+                        pad_to: int, chunks: int,
+                        exchange: str = "collective"):
     """Pack runs into (D, cap), exchange in chunks, merge; pad to pad_to.
 
-    The capacity axis is split into `chunks` independent all_to_all
-    transfers; the receive-side validity masking runs per chunk, giving
-    XLA's async collective scheduler compute to pipeline transfers
-    against.  Returns (ops, count, overflow) with ops padded to pad_to
-    elements (so every lax.switch branch agrees on shapes).
+    exchange="collective" (default): the capacity axis is split into
+    `chunks` independent all_to_all transfers; the receive-side validity
+    masking runs per chunk, giving XLA's async collective scheduler
+    compute to pipeline transfers against.
+
+    exchange="remote_dma": one Pallas kernel posts direct remote DMAs
+    (pltpu.make_async_remote_copy) per destination and masks arrivals
+    source-by-source while later transfers are in flight — the explicit
+    in-kernel form of the same overlap (parallel/remote_exchange.py).
+
+    Returns (ops, count, overflow) with ops padded to pad_to elements
+    (so every lax.switch branch agrees on shapes).
     """
     bounds = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)])
@@ -158,26 +167,39 @@ def _exchange_and_merge(sorted_ops, counts, n_dev: int, cap: int, axis,
             pack(sorted_ops[1], _SENTINEL)]
     send += [pack(x, jnp.zeros((), x.dtype)) for x in sorted_ops[2:]]
 
-    recv_counts = jax.lax.all_to_all(
-        counts.astype(jnp.uint32), axis, 0, 0, tiled=True)
-    rc_cap = jnp.minimum(recv_counts, jnp.uint32(cap)).astype(jnp.int32)
+    if exchange == "remote_dma":
+        num_ops = len(send)
+        r = cap // 128
+        stacked = jnp.concatenate(
+            [s.reshape(n_dev, r, 128) for s in send], axis=1)
+        data, rc = remote_exchange.remote_exchange(
+            stacked, counts, axis=axis, n_dev=n_dev, num_ops=num_ops)
+        rc_cap = jnp.minimum(rc, jnp.uint32(cap)).astype(jnp.int32)
+        flat = [data[:, o * r:(o + 1) * r, :].reshape(-1)
+                for o in range(num_ops)]
+    else:
+        recv_counts = jax.lax.all_to_all(
+            counts.astype(jnp.uint32), axis, 0, 0, tiled=True)
+        rc_cap = jnp.minimum(recv_counts, jnp.uint32(cap)).astype(jnp.int32)
 
-    cw = cap // chunks if cap % chunks == 0 else cap
-    n_chunks = chunks if cap % chunks == 0 else 1
-    parts = [[] for _ in sorted_ops]
-    for c in range(n_chunks):
-        sl = (slice(None), slice(c * cw, (c + 1) * cw))
-        recv_c = [jax.lax.all_to_all(s[sl], axis, 0, 0, tiled=True)
-                  for s in send]
-        # receive-side masking for THIS chunk (overlappable compute)
-        pos = jax.lax.broadcasted_iota(jnp.int32, (n_dev, cw), 1) + c * cw
-        valid = pos < rc_cap[:, None]
-        for o in range(len(sorted_ops)):
-            fill = _SENTINEL if o < 2 else jnp.zeros((), recv_c[o].dtype)
-            parts[o].append(jnp.where(valid, recv_c[o], fill))
+        cw = cap // chunks if cap % chunks == 0 else cap
+        n_chunks = chunks if cap % chunks == 0 else 1
+        parts = [[] for _ in sorted_ops]
+        for c in range(n_chunks):
+            sl = (slice(None), slice(c * cw, (c + 1) * cw))
+            recv_c = [jax.lax.all_to_all(s[sl], axis, 0, 0, tiled=True)
+                      for s in send]
+            # receive-side masking for THIS chunk (overlappable compute)
+            pos = jax.lax.broadcasted_iota(
+                jnp.int32, (n_dev, cw), 1) + c * cw
+            valid = pos < rc_cap[:, None]
+            for o in range(len(sorted_ops)):
+                fill = _SENTINEL if o < 2 else jnp.zeros(
+                    (), recv_c[o].dtype)
+                parts[o].append(jnp.where(valid, recv_c[o], fill))
 
-    flat = [jnp.concatenate([p.reshape(-1) for p in ps], axis=0)
-            for ps in parts]
+        flat = [jnp.concatenate([p.reshape(-1) for p in ps], axis=0)
+                for ps in parts]
     out = list(jax.lax.sort(tuple(flat), num_keys=2, is_stable=False))
     pad = pad_to - n_dev * cap
     if pad:
@@ -221,6 +243,7 @@ def distributed_sort(
     cap_elems: int | None = None,
     exchange_chunks: int = _EXCHANGE_CHUNKS,
     max_skew: float | None = None,
+    exchange: str = "collective",
 ):
     """Sort a globally sharded key (and optional payload) array.
 
@@ -236,9 +259,17 @@ def distributed_sort(
     elements per device in the drop-proof default — at beyond-HBM scales
     pass `max_skew` (e.g. 8.0) to bound memory at ~max_skew/n_dev of the
     global array per device; overflow then becomes reportable instead of
-    impossible.  Returns a dict; see module docstring for the output
-    convention.
+    impossible.
+
+    `exchange` selects the transport: "collective" (default) rides
+    chunked `lax.all_to_all`; "remote_dma" posts direct Pallas remote
+    DMAs with in-kernel receive-side masking (parallel/remote_exchange.py
+    — the north-star overlap mechanism, exercised on the CPU mesh via
+    TPU interpret mode).  Returns a dict; see module docstring for the
+    output convention.
     """
+    if exchange not in ("collective", "remote_dma"):
+        raise ValueError(f"unknown exchange {exchange!r}")
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n = keys.shape[0]
@@ -285,7 +316,7 @@ def distributed_sort(
         if len(caps) == 1:
             out, count, ovf = _exchange_and_merge(
                 sorted_ops, counts, n_dev, caps[0], axis, pad_to,
-                exchange_chunks)
+                exchange_chunks, exchange)
         else:
             rung = jnp.sum(jnp.stack(
                 [(cell_max > c).astype(jnp.int32) for c in caps[:-1]]))
@@ -293,7 +324,7 @@ def distributed_sort(
                 rung,
                 [(lambda c=c: _exchange_and_merge(
                     sorted_ops, counts, n_dev, c, axis, pad_to,
-                    exchange_chunks))
+                    exchange_chunks, exchange))
                  for c in caps])
         return out + (count[None], ovf[None])
 
@@ -303,6 +334,10 @@ def distributed_sort(
     results = jax.shard_map(
         shard_fn, mesh=mesh, in_specs=tuple(in_specs),
         out_specs=tuple([spec] * n_sorted) + (spec, spec),
+        # the interpret-mode Pallas exchange trips shard_map's vma checker
+        # (internal add of varying+invariant); the checker adds nothing
+        # here — specs are explicit on every in/out
+        check_vma=(exchange != "remote_dma"),
     )(*args)
 
     out, count, overflow = (results[:n_sorted], results[n_sorted],
