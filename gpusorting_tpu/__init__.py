@@ -24,10 +24,13 @@ from .core.config import (
     PayloadType,
     SortConfig,
     TuningParameters,
+    clear_tuning_overrides,
     get_device_info,
     get_tuning_parameters,
+    set_tuning_override,
 )
 from .ops import sort, sort_pairs, sort_pairs_wide
+from .utils.autotune import autotune
 from .api import (
     DeviceRadixSort,
     EmulatedDeadlocking,

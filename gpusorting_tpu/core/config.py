@@ -281,10 +281,32 @@ _GENERIC_TUNING = {
 }
 
 
+# Process-wide measured overrides installed by utils.autotune (the
+# live-measured alternative to the static generation table; the reference
+# ships manual-tuning constructors for the same escape hatch,
+# GPUSortBase.h:57-155).
+_TUNING_OVERRIDES: dict[Mode, TuningParameters] = {}
+
+
+def set_tuning_override(mode: Mode, params: TuningParameters) -> None:
+    """Install a tuning row that wins over the generation table."""
+    _TUNING_OVERRIDES[mode] = params
+
+
+def clear_tuning_overrides() -> None:
+    _TUNING_OVERRIDES.clear()
+
+
 def get_tuning_parameters(
     info: DeviceInfo | None = None, mode: Mode = Mode.KEYS_ONLY
 ) -> TuningParameters:
-    """Tuner::GetTuningParameters analog (reference: Tuner.h:895-927)."""
+    """Tuner::GetTuningParameters analog (reference: Tuner.h:895-927).
+
+    Resolution order: autotuned/installed override (utils.autotune) ->
+    generation table row -> generic fallback.
+    """
+    if info is None and mode in _TUNING_OVERRIDES:
+        return _TUNING_OVERRIDES[mode]
     info = info or get_device_info()
     table = _TUNING_TABLE.get(info.generation)
     if table is None:

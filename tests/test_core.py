@@ -132,3 +132,40 @@ class TestValidators:
     def test_identity_nan_safe(self):
         a = jnp.array([np.nan, 1.0], dtype=jnp.float32)
         assert int(validate.identical(a, a)) == 0
+
+
+def test_autotune_measures_and_installs():
+    """utils.autotune: live tile sweep -> measured=True row -> override.
+
+    The reference's Tuner is a static measured table (Tuner.h:14-927);
+    autotune is the live-device equivalent for generations the table has
+    no hardware row for.  Tiny n: interpret-mode kernels, CI budget.
+    """
+    import gpusorting_tpu as gst
+    from gpusorting_tpu.core import config as cfg
+
+    params, sweep = gst.autotune(n=1 << 13, tiles=(256, 512), batch=1)
+    assert set(sweep) == {256, 512}
+    assert all(v > 0 for v in sweep.values())
+    assert params.measured
+    assert params.radix_tile_rows == max(sweep, key=sweep.get)
+
+    try:
+        gst.set_tuning_override(gst.Mode.KEYS_ONLY, params)
+        assert cfg.get_tuning_parameters(mode=gst.Mode.KEYS_ONLY) == params
+        # explicit info= bypasses the override (table lookups stay pure)
+        info = cfg.get_device_info()
+        assert cfg.get_tuning_parameters(info, gst.Mode.KEYS_ONLY) \
+            == cfg.get_tuning_parameters(info, gst.Mode.KEYS_ONLY)
+    finally:
+        gst.clear_tuning_overrides()
+    base = cfg.get_tuning_parameters(mode=gst.Mode.KEYS_ONLY)
+    assert not base.measured  # CPU generic row
+
+
+def test_autotune_rejects_empty_tiles():
+    import gpusorting_tpu as gst
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        gst.autotune(tiles=())

@@ -112,3 +112,17 @@ def test_exchange_rejects_bad_shape(cpu_mesh):
         remote_exchange(jnp.zeros((8, 5, 128), jnp.uint32),
                         jnp.zeros((8,), jnp.int32), axis="x", n_dev=8,
                         num_ops=2)
+
+
+def test_distributed_sort_remote_dma_cap_ladder(cpu_mesh):
+    """Remote-DMA exchange under the on-device cap ladder: every rung's
+    kernel lives in a lax.switch branch (pallas_call inside cond under
+    interpret mode) and the picked rung must produce the exact output."""
+    n = 1 << 12
+    keys = (jnp.arange(n, dtype=jnp.uint32)
+            * jnp.uint32(2246822519)) & jnp.uint32(0x3F)
+    out, overflow = dist_sort.distributed_sort_gather(
+        keys, mesh=cpu_mesh, exchange="remote_dma")
+    assert overflow == 0
+    np.testing.assert_array_equal(
+        np.asarray(out), np.sort(np.asarray(keys), kind="stable"))
