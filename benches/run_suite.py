@@ -43,16 +43,32 @@ def main():
                            f"results_{tag}.jsonl")
     results = []
 
-    def emit(name, keys_per_sec, n, detail=None):
+    def emit(name, res, n, detail=None):
+        detail = dict(detail or {})
+        if isinstance(res, dict):
+            # propagate the harness's noise-floor verdict so a garbage rate
+            # (sort chain indistinguishable from the generator chain) can
+            # never masquerade as a measurement in the JSONL record
+            detail["floored"] = bool(res.get("timing_floored"))
+            res = res["keys_per_sec"]
         row = {
             "bench": name,
-            "keys_per_sec": keys_per_sec,
+            "keys_per_sec": res,
             "n": n,
             "device": info.device_kind,
-            "detail": detail or {},
+            "detail": detail,
         }
         results.append(row)
         print(json.dumps(row), flush=True)
+
+    def timed(fn, n, **kw):
+        res = timing.batch_timing(fn, n, **kw)
+        if res.get("timing_floored"):
+            # one retry with 4x the batch: short workloads (tiny segsort
+            # rows) can finish inside the gen-chain noise at small batches
+            kw = dict(kw, batch=4 * kw.get("batch", 10))
+            res = timing.batch_timing(fn, n, **kw)
+        return res
 
     def batch_for(n):
         # enough iterations that the timed loop dwarfs harness noise
@@ -69,37 +85,37 @@ def main():
                    ([10, 14] if "xla" in sections else []))
     for logn in size_points:
         n = 1 << logn
-        res = timing.batch_timing(
+        res = timed(
             lambda c: xla_sort.sort_keys_u32(c), n, batch=batch_for(n), seed=10)
-        emit(f"size_sweep_keys_2^{logn}", res["keys_per_sec"], n,
+        emit(f"size_sweep_keys_2^{logn}", res, n,
              {"engine": "xla", "batch": res["batch"]})
 
     # --- entropy sweep (Thearling-Smith presets 1-5) ---
     n = 1 << 26 if on_tpu else 1 << 14
     for preset in (EntropyPreset if "xla" in sections else []):
-        res = timing.batch_timing(
+        res = timed(
             lambda c: xla_sort.sort_keys_u32(c), n, batch=3, seed=10,
             entropy=preset)
-        emit(f"entropy_{preset.bits_per_bit:.3f}", res["keys_per_sec"], n,
+        emit(f"entropy_{preset.bits_per_bit:.3f}", res, n,
              {"engine": "xla", "preset": int(preset)})
 
     # --- pairs vs keys ---
     for logn in (([22, 24, 26] if on_tpu else [14])
                  if "xla" in sections else []):
         n = 1 << logn
-        res = timing.batch_timing(
+        res = timed(
             lambda c: xla_sort.sort_pairs_u32(c, c)[0], n,
             batch=batch_for(n), seed=10)
-        emit(f"pairs_2^{logn}", res["keys_per_sec"], n, {"engine": "xla"})
+        emit(f"pairs_2^{logn}", res, n, {"engine": "xla"})
 
     # --- native engines vs oracle (TPU only: interpret mode is emulation) ---
     for logn in ([20, 22, 24] if (on_tpu and "native" in sections) else []):
         n = 1 << logn
         from gpusorting_tpu.ops import bitonic
-        res = timing.batch_timing(
+        res = timed(
             lambda c: bitonic.sort_codes(c), n, batch=batch_for(n) // 2 + 1,
             seed=10)
-        emit(f"native_network_keys_2^{logn}", res["keys_per_sec"], n,
+        emit(f"native_network_keys_2^{logn}", res, n,
              {"engine": "pallas_network"})
 
     # fused radix-16 (OneSweep analog) + entropy point (pass/bucket skipping
@@ -108,29 +124,29 @@ def main():
         from gpusorting_tpu.ops import radix16, rts as rts_mod
         for logn in (22, 24):
             n = 1 << logn
-            res = timing.batch_timing(
+            res = timed(
                 lambda c: radix16.sort_codes_radix16(c), n, batch=3, seed=10,
                 repeats=3)
-            emit(f"native_radix16_keys_2^{logn}", res["keys_per_sec"], n,
+            emit(f"native_radix16_keys_2^{logn}", res, n,
                  {"engine": "pallas_radix16"})
         n = 1 << 24
-        res = timing.batch_timing(
+        res = timed(
             lambda c: radix16.sort_codes_radix16(c), n, batch=3, seed=10,
             entropy=EntropyPreset.E020, repeats=3)
-        emit("native_radix16_keys_2^24_E020", res["keys_per_sec"], n,
+        emit("native_radix16_keys_2^24_E020", res, n,
              {"engine": "pallas_radix16", "preset": 5})
-        res = timing.batch_timing(
+        res = timed(
             lambda c: rts_mod.sort_codes_rts(c), n, batch=3, seed=10,
             repeats=3)
-        emit("native_rts_keys_2^24", res["keys_per_sec"], n,
+        emit("native_rts_keys_2^24", res, n,
              {"engine": "pallas_rts_3phase"})
         # the REAL 5-stage FFX pipeline (ops/ffx.py; the round-2 row timed
         # radix16 at tile 256 — the relabel this engine replaced)
         from gpusorting_tpu.ops import ffx as ffx_mod
-        res = timing.batch_timing(
+        res = timed(
             lambda c: ffx_mod.sort_codes_ffx(c), n, batch=3, seed=10,
             repeats=3)
-        emit("ffx_baseline_keys_2^24", res["keys_per_sec"], n,
+        emit("ffx_baseline_keys_2^24", res, n,
              {"engine": "pallas_ffx_5stage"})
 
     # --- segmented sort sweep (fixed-length bins; Kobus-style) ---
@@ -145,9 +161,9 @@ def main():
 
         # short-L batched sorts are faster than the harness resolution at
         # small batches (the generator loop dominates): batch way up
-        res = timing.batch_timing(seg_fn, total, batch=200, seed=10,
+        res = timed(seg_fn, total, batch=200, seed=10,
                                   repeats=2)
-        emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
+        emit(f"segsort_fixed_L{L}_pairs", res, total,
              {"engine": "batched", "segments": int(S)})
 
     # giant fixed segments: L >= _MAP_FIXED_MIN routes to the lax.map
@@ -160,9 +176,9 @@ def main():
             k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
             return k
 
-        res = timing.batch_timing(seg_fn_g, total, batch=20, seed=10,
+        res = timed(seg_fn_g, total, batch=20, seed=10,
                                   repeats=2)
-        emit(f"segsort_fixed_L{L}_pairs", res["keys_per_sec"], total,
+        emit(f"segsort_fixed_L{L}_pairs", res, total,
              {"engine": "mapped_flat", "segments": int(S)})
 
     # (u32, f64-as-dual-planes) pairs — the reference's 64-bit payload chart
@@ -175,8 +191,8 @@ def main():
                 offs, codes, codes, codes, S, total)
             return k
 
-        res = timing.batch_timing(seg_wide_fn, total, batch=5, seed=10)
-        emit(f"segsort_fixed_L{L}_pairs_f64", res["keys_per_sec"], total,
+        res = timed(seg_wide_fn, total, batch=5, seed=10)
+        emit(f"segsort_fixed_L{L}_pairs_f64", res, total,
              {"engine": "batched", "payload": "u32+u32 planes"})
 
     # random-length sweep (Kobus-style maxlen sweep).  maxlen <= 2048 routes
@@ -197,9 +213,9 @@ def main():
             k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
             return k
 
-        res = timing.batch_timing(seg_rand_fn, total, batch=5, seed=10,
+        res = timed(seg_rand_fn, total, batch=5, seed=10,
                                   repeats=2)
-        emit(f"segsort_random_maxlen{max_len}_pairs", res["keys_per_sec"],
+        emit(f"segsort_random_maxlen{max_len}_pairs", res,
              total, {"engine": engine, "segments": int(S)})
 
     # bimodal length-class split (small bulk + long tail -> bulk windows +
@@ -225,9 +241,9 @@ def main():
             k, _ = splitsort.split_sort_pairs(offs, codes, codes, S, total)
             return k
 
-        res = timing.batch_timing(seg_split_fn, total, batch=5, seed=10,
+        res = timed(seg_split_fn, total, batch=5, seed=10,
                                   repeats=2)
-        emit("segsort_bimodal_split_pairs", res["keys_per_sec"], total,
+        emit("segsort_bimodal_split_pairs", res, total,
              {"engine": "length_class_split" if routed else "UNROUTED",
               "segments": S, "tail_elems": sum(longs)})
 
@@ -239,9 +255,9 @@ def main():
                 32)
             return k
 
-        res = timing.batch_timing(seg_comp_fn, total, batch=5, seed=10,
+        res = timed(seg_comp_fn, total, batch=5, seed=10,
                                   repeats=2)
-        emit("segsort_bimodal_composite_pairs", res["keys_per_sec"], total,
+        emit("segsort_bimodal_composite_pairs", res, total,
              {"engine": "composite_forced", "segments": S})
 
     with open(outpath, "a") as f:
