@@ -149,6 +149,34 @@ def cmd_segsort(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_dist(args) -> int:
+    # platform shaping must precede first backend use (the axon plugin
+    # overrides the JAX_PLATFORMS env var — CLAUDE.md rig notes)
+    if args.cpu_mesh:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.parallel import dist_sort
+
+    mesh = dist_sort.make_mesh()
+    n_dev = mesh.devices.size
+    n = -(-_parse_size(args.n) // n_dev) * n_dev
+    keys = prng.make_test_keys(n, seed=args.seed, key_dtype=jnp.uint32)
+    out, overflow = dist_sort.distributed_sort_gather(
+        keys, mesh=mesh, exchange=args.exchange)
+    ok = overflow == 0 and (
+        np.asarray(out) == np.sort(np.asarray(keys), kind="stable")).all()
+    print(f"dist n={n} devices={n_dev} exchange={args.exchange}: "
+          f"{'PASS' if ok else 'FAIL'} (overflow={overflow})")
+    return 0 if ok else 1
+
+
 def cmd_autotune(args) -> int:
     import gpusorting_tpu as gst
 
@@ -206,6 +234,16 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--bits", type=int, default=32)
     sp.add_argument("--seed", type=int, default=7)
     sp.set_defaults(fn=cmd_segsort)
+
+    sp = sub.add_parser("dist", help="distributed sort correctness run")
+    sp.add_argument("--n", default="2^16")
+    sp.add_argument("--seed", type=int, default=11)
+    sp.add_argument("--exchange", default="collective",
+                    choices=["collective", "remote_dma"])
+    sp.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="force an N-virtual-device CPU mesh (must be the "
+                         "first backend use in the process)")
+    sp.set_defaults(fn=cmd_dist)
 
     sp = sub.add_parser("autotune", help="live tile sweep -> measured row")
     sp.add_argument("--mode", default="keys", choices=["keys", "pairs"])

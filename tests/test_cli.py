@@ -43,6 +43,12 @@ def test_cli_segsort_bits(capsys):
     assert "PASS" in capsys.readouterr().out
 
 
+def test_cli_dist(capsys):
+    # conftest already provides the 8-virtual-device CPU mesh
+    assert main(["dist", "--n", "2^12"]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
 def test_cli_bench_json_line(capsys):
     assert main(["bench", "--n", "2^12", "--batch", "2"]) == 0
     res = json.loads(capsys.readouterr().out)
