@@ -49,12 +49,23 @@ from .segsort.splitsort import (
     split_sort_pairs,
     split_sort_pairs_wide,
 )
+from .parallel.dist_sort import (
+    distributed_sort,
+    distributed_sort_gather,
+    make_mesh,
+)
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Backend",
     "DeviceInfo",
+    "autotune",
+    "clear_tuning_overrides",
+    "set_tuning_override",
+    "distributed_sort",
+    "distributed_sort_gather",
+    "make_mesh",
     "DeviceRadixSort",
     "EmulatedDeadlocking",
     "EntropyPreset",
