@@ -29,7 +29,7 @@ from .core.config import (
     get_tuning_parameters,
     set_tuning_override,
 )
-from .ops import sort, sort_pairs, sort_pairs_wide
+from .ops import argsort, sort, sort_pairs, sort_pairs_wide
 from .utils.autotune import autotune
 from .api import (
     DeviceRadixSort,
@@ -60,6 +60,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Backend",
     "DeviceInfo",
+    "argsort",
     "autotune",
     "clear_tuning_overrides",
     "set_tuning_override",

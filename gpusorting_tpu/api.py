@@ -106,20 +106,32 @@ class GPUSorterBase:
             tile_rows=self._tile_override,
         )
 
-    def make_sort_fn(self, pairs: bool = False):
-        """Return a jitted sort closure (Unity CommandBuffer-mode analog)."""
+    def make_sort_fn(self, pairs: bool = False, donate: bool = False):
+        """Return a jitted sort closure (Unity CommandBuffer-mode analog).
+
+        donate=True donates the input buffer(s) to XLA (jit donate_argnums)
+        — the memory-parity analog of the reference's in-place ping-pong
+        buffer scheme (GPUSortBase.h sort/alt buffer swap): at the 2^28
+        flagship size the 1 GiB input is reusable as scratch instead of
+        held live alongside the output.  The donated arrays are invalid
+        after the call; backends that cannot donate (CPU) ignore the hint
+        with a warning and stay correct.
+        """
         if pairs:
+            donate_argnums = (0, 1) if donate else ()
             return jax.jit(
                 lambda k, v: ops.sort_pairs(
                     k, v, self.config.order, self.config.backend,
                     self.variant, self._tile_override
-                )
+                ),
+                donate_argnums=donate_argnums,
             )
         return jax.jit(
             lambda k: ops.sort(
                 k, self.config.order, self.config.backend, self.variant,
                 self._tile_override
-            )
+            ),
+            donate_argnums=(0,) if donate else (),
         )
 
     # -- validation (ValidateOutput analog, GPUSortBase.h:482-515) --------

@@ -105,6 +105,36 @@ def sort_pairs_wide(
     return xla_sort.sort_pairs_wide(keys, lo, hi, order=order)
 
 
+def argsort(
+    keys: jnp.ndarray,
+    order: Order = Order.ASCENDING,
+    backend: Backend = Backend.AUTO,
+    variant: str = "onesweep",
+    tile_rows: int | None = None,
+    return_keys: bool = False,
+):
+    """Stable argsort: the permutation that sorts `keys`.
+
+    The reference idiom for this is a pair sort with an iota payload
+    (GPUSortBase.h CreateTestInput fills payload = index; the stability
+    validator relies on it) — this wraps that pattern as a first-class op.
+    Matches `jnp.argsort(keys, stable=True)` for ascending; descending is
+    the element-wise reverse of the stable ascending permutation (reference
+    DescendingIndex semantics, SortCommon.hlsl:594-597).
+
+    Returns int32 indices (jnp.argsort convention); with return_keys=True
+    returns (sorted_keys, indices) and saves the caller a gather.
+    """
+    _check_lengths(keys)
+    idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    k, v = sort_pairs(keys, idx, order=order, backend=backend,
+                      variant=variant, tile_rows=tile_rows)
+    perm = v.view(jnp.int32)  # bit-identical; n < 2^31 always
+    if return_keys:
+        return k, perm
+    return perm
+
+
 def sort_pairs(
     keys: jnp.ndarray,
     values: jnp.ndarray,

@@ -1,0 +1,79 @@
+"""User-surface conveniences: argsort and donated sort closures.
+
+argsort is the first-class form of the reference's own stability idiom
+(payload = input index, GPUSortBase.h CreateTestInput); donation is the
+memory-parity analog of the reference's in-place sort/alt ping-pong.
+"""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gpusorting_tpu as gst
+from gpusorting_tpu.core import prng
+from gpusorting_tpu.core.config import Backend, Mode, Order, SortConfig
+
+
+def test_argsort_matches_numpy_stable_u32():
+    n = 4096
+    # duplicate-heavy keys so stability is load-bearing
+    keys = (prng.hybrid_taus_bits(n, seed=7) & jnp.uint32(0x3F)).view(jnp.uint32)
+    perm = gst.argsort(keys)
+    assert perm.dtype == jnp.int32
+    ref = np.argsort(np.asarray(keys), kind="stable")
+    np.testing.assert_array_equal(np.asarray(perm), ref)
+
+
+@pytest.mark.parametrize("kt", [jnp.float32, jnp.int32])
+def test_argsort_key_types(kt):
+    keys = prng.make_test_keys(2000, seed=13, key_dtype=kt)
+    perm = gst.argsort(keys)
+    # gathering by the permutation must reproduce gst.sort exactly
+    np.testing.assert_array_equal(
+        np.asarray(keys)[np.asarray(perm)].view(np.uint32),
+        np.asarray(gst.sort(keys)).view(np.uint32),
+    )
+
+
+def test_argsort_descending_is_reverse_of_stable_ascending():
+    keys = (prng.hybrid_taus_bits(1000, seed=5) & jnp.uint32(0xF)).view(jnp.uint32)
+    asc = np.asarray(gst.argsort(keys, order=Order.ASCENDING))
+    desc = np.asarray(gst.argsort(keys, order=Order.DESCENDING))
+    np.testing.assert_array_equal(desc, asc[::-1])
+
+
+def test_argsort_return_keys():
+    keys = prng.make_test_keys(1500, seed=3)
+    k, perm = gst.argsort(keys, return_keys=True)
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(keys)[np.asarray(perm)])
+
+
+def test_argsort_pallas_backend_identical():
+    keys = prng.make_test_keys(512, seed=9)
+    a = gst.argsort(keys, backend=Backend.XLA)
+    b = gst.argsort(keys, backend=Backend.PALLAS)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("pairs", [False, True])
+def test_make_sort_fn_donate(pairs):
+    """Donated closures stay bit-exact (CPU ignores the hint, warns)."""
+    sorter = gst.OneSweep(SortConfig(mode=Mode.PAIRS if pairs else Mode.KEYS_ONLY))
+    fn = sorter.make_sort_fn(pairs=pairs, donate=True)
+    ref_fn = sorter.make_sort_fn(pairs=pairs)
+    keys = prng.make_test_keys(3000, seed=21)
+    vals = jnp.arange(3000, dtype=jnp.uint32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # backends that can't donate warn
+        if pairs:
+            ref_k, ref_v = ref_fn(keys, vals)
+            out_k, out_v = fn(keys, vals)  # consumes keys/vals
+            np.testing.assert_array_equal(np.asarray(out_v), np.asarray(ref_v))
+        else:
+            ref_k = ref_fn(keys)
+            out_k = fn(keys)  # consumes keys
+    np.testing.assert_array_equal(np.asarray(out_k), np.asarray(ref_k))
+    # the donated inputs really were consumed (buffer handed to XLA)
+    assert keys.is_deleted()
