@@ -29,7 +29,7 @@ from .core.config import (
     get_tuning_parameters,
     set_tuning_override,
 )
-from .ops import argsort, sort, sort_pairs, sort_pairs_wide
+from .ops import argsort, sort, sort_batched, sort_pairs, sort_pairs_wide
 from .utils.autotune import autotune
 from .api import (
     DeviceRadixSort,
@@ -85,6 +85,7 @@ __all__ = [
     "get_device_info",
     "get_tuning_parameters",
     "sort",
+    "sort_batched",
     "sort_pairs",
     "sort_pairs_wide",
     "split_sort_allocate_temp_memory",

@@ -105,6 +105,29 @@ def sort_pairs_wide(
     return xla_sort.sort_pairs_wide(keys, lo, hi, order=order)
 
 
+def sort_batched(
+    keys: jnp.ndarray,
+    values: jnp.ndarray | None = None,
+    order: Order = Order.ASCENDING,
+):
+    """Sort each row of a 2-D (batch, L) array independently.
+
+    Stable per row; any u32/i32/f32 key dtype, optional same-shape payload;
+    descending = per-row reverse of stable ascending.  There is no separate
+    backend/variant knob here: the route (one batched minor-axis sort vs a
+    `lax.map` of flat per-row sorts beyond the L >= 2^17 VMEM-residency
+    crossover) IS the measured winner on this workload shape
+    (benches/RESULTS.md round-3 mapped-vs-batched probes), and segsort's
+    fixed-length path rides the same mechanism.
+    """
+    if keys.ndim != 2:
+        raise ValueError(f"sort_batched takes a 2-D array, got {keys.shape}")
+    if values is not None and values.shape != keys.shape:
+        raise ValueError(
+            f"payload shape {values.shape} != keys shape {keys.shape}")
+    return xla_sort.sort_batched(keys, values, order=order)
+
+
 def argsort(
     keys: jnp.ndarray,
     order: Order = Order.ASCENDING,

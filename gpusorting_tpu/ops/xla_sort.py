@@ -123,6 +123,54 @@ def sort_pairs(
     return out_k, out_v
 
 
+# Row-length crossover for independent row sorts: at L >= 2^17 a `lax.map`
+# of flat per-row sorts beats one batched minor-axis sort because each
+# mapped sort stays VMEM-resident (r3 hardware: 2^22 total pairs, L=2^18
+# map 1.21 G vs batched 0.62 G; the same mechanism holds the flat 2^24
+# chunk rate at any total size — benches/RESULTS.md).  Shared by the
+# public sort_batched surface and segsort's fixed-length dispatch.
+MAP_ROWS_MIN = 131072
+
+
+def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
+                 order: Order = Order.ASCENDING):
+    """Sort each row of a 2-D (S, L) array independently (stable per row).
+
+    The many-independent-arrays workload shape; descending is the per-row
+    element-wise reverse of the stable ascending result (reference
+    DescendingIndex semantics applied row-wise).  Routes by the measured
+    VMEM-residency crossover (MAP_ROWS_MIN): giant rows run as a `lax.map`
+    of flat per-row sorts (~2x the batched minor-axis form on v5e),
+    shorter rows as one batched dimension sort.
+    """
+    kt = codec.key_type_of(keys)
+    codes = codec.encode_keys(keys)
+    L = codes.shape[1]
+    if values is None:
+        if L >= MAP_ROWS_MIN:
+            sk = jax.lax.map(lambda r: sort_all_keys_unstable((r,))[0], codes)
+        else:
+            (sk,) = sort_all_keys_unstable((codes,), dimension=1)
+        out = codec.decode_keys(sk, kt)
+        if order == Order.DESCENDING:
+            out = jnp.flip(out, axis=1)
+        return out
+    bits = codec.payload_to_bits(values)
+    if L >= MAP_ROWS_MIN:
+        sk, sb = jax.lax.map(
+            lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
+            (codes, bits))
+    else:
+        sk, sb = jax.lax.sort((codes, bits), num_keys=1, is_stable=True,
+                              dimension=1)
+    out_k = codec.decode_keys(sk, kt)
+    out_v = codec.bits_to_payload(sb, values.dtype)
+    if order == Order.DESCENDING:
+        out_k = jnp.flip(out_k, axis=1)
+        out_v = jnp.flip(out_v, axis=1)
+    return out_k, out_v
+
+
 def segment_ids_from_offsets(seg_offsets: jnp.ndarray, n: int) -> jnp.ndarray:
     """Per-element segment id from exclusive-prefix starts.
 

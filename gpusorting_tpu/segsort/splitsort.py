@@ -90,7 +90,8 @@ def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
 # 2^22 total pairs: L=2^18 map 1.21 G vs batched 0.62 G — 1.95x; L=2^16
 # within noise; L=2^14 batched wins 2.51 vs 2.10).  Same mechanism as the
 # flagship lax.map discovery: each mapped sort stays VMEM-resident.
-_MAP_FIXED_MIN = 131072
+# Shared with the public row-sort surface (ops.xla_sort.sort_batched).
+_MAP_FIXED_MIN = xla_sort.MAP_ROWS_MIN
 
 
 def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):

@@ -57,6 +57,56 @@ def test_argsort_pallas_backend_identical():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("kt", [jnp.uint32, jnp.float32])
+@pytest.mark.parametrize("order", [Order.ASCENDING, Order.DESCENDING])
+def test_sort_batched_rows_independent(kt, order):
+    S, L = 37, 257
+    keys = prng.make_test_keys(S * L, seed=17, key_dtype=kt).reshape(S, L)
+    out = np.asarray(gst.sort_batched(keys, order=order)).view(np.uint32)
+    for r in range(S):
+        ref = np.asarray(gst.sort(keys[r], order=order)).view(np.uint32)
+        np.testing.assert_array_equal(out[r], ref)
+
+
+def test_sort_batched_pairs_stable_per_row():
+    S, L = 16, 512
+    keys = (prng.hybrid_taus_bits(S * L, seed=23) & jnp.uint32(0x7)).view(
+        jnp.uint32).reshape(S, L)
+    vals = jnp.tile(jnp.arange(L, dtype=jnp.uint32), (S, 1))
+    out_k, out_v = gst.sort_batched(keys, vals)
+    for r in range(S):
+        perm = np.argsort(np.asarray(keys[r]), kind="stable")
+        np.testing.assert_array_equal(np.asarray(out_k[r]),
+                                      np.asarray(keys[r])[perm])
+        np.testing.assert_array_equal(np.asarray(out_v[r]), perm)
+
+
+def test_sort_batched_mapped_route_giant_rows():
+    """Rows at/above the VMEM-residency crossover take the lax.map route."""
+    from gpusorting_tpu.ops import xla_sort
+
+    S, L = 2, xla_sort.MAP_ROWS_MIN
+    keys = prng.make_test_keys(S * L, seed=31).reshape(S, L)
+    vals = jnp.tile(jnp.arange(L, dtype=jnp.uint32), (S, 1))
+    out_k, out_v = gst.sort_batched(keys, vals)
+    kn = np.asarray(keys)
+    for r in range(S):
+        perm = np.argsort(kn[r], kind="stable")
+        np.testing.assert_array_equal(np.asarray(out_k[r]), kn[r][perm])
+        np.testing.assert_array_equal(np.asarray(out_v[r]), perm)
+    # keys-only form on the same shapes
+    out = gst.sort_batched(keys)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(kn, axis=1))
+
+
+def test_sort_batched_shape_errors():
+    with pytest.raises(ValueError):
+        gst.sort_batched(jnp.zeros((8,), jnp.uint32))
+    with pytest.raises(ValueError):
+        gst.sort_batched(jnp.zeros((4, 8), jnp.uint32),
+                         jnp.zeros((4, 9), jnp.uint32))
+
+
 @pytest.mark.parametrize("pairs", [False, True])
 def test_make_sort_fn_donate(pairs):
     """Donated closures stay bit-exact (CPU ignores the hint, warns)."""
