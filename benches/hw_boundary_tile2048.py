@@ -19,6 +19,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -34,42 +35,15 @@ t0 = time.time()
 print(f"tile {TILE} bucket {B}", flush=True)
 
 
+from boundary_check import make_keys_checker, make_pairs_checker
+
+
 def range_checker(eng):
-    @jax.jit
-    def check_range(n0, count):
-        iota = jax.lax.iota(jnp.uint32, B)
-
-        def body(i, acc):
-            nn = n0 + i
-            bits = prng.hybrid_taus_bits(B, seed=0) ^ nn
-            padded = jnp.where(iota < nn, bits, jnp.uint32(0xFFFFFFFF))
-            a = eng(padded)
-            b = jax.lax.sort((padded,), num_keys=1, is_stable=False)[0]
-            return acc + jnp.sum(a != b, dtype=jnp.uint32)
-
-        return jax.lax.fori_loop(0, count, body, jnp.uint32(0))
-
-    return check_range
+    return make_keys_checker(eng, B)
 
 
 def pair_range_checker(fn):
-    @jax.jit
-    def check_range(n0, count):
-        iota = jax.lax.iota(jnp.uint32, B)
-
-        def body(i, acc):
-            nn = n0 + i
-            bits = (prng.hybrid_taus_bits(B, seed=1) ^ nn) & jnp.uint32(0x3FF)
-            kk = jnp.where(iota < nn, bits, jnp.uint32(0xFFFFFFFF))
-            vv = iota
-            sk, sv = fn(kk, vv)
-            rk, rv = jax.lax.sort((kk, vv), num_keys=1, is_stable=True)
-            return acc + jnp.sum(sk != rk, dtype=jnp.uint32) + jnp.sum(
-                sv != rv, dtype=jnp.uint32)
-
-        return jax.lax.fori_loop(0, count, body, jnp.uint32(0))
-
-    return check_range
+    return make_pairs_checker(fn, B)
 
 
 def run(tag, checker, ranges):

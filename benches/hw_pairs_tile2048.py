@@ -13,14 +13,16 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpusorting_tpu.core import prng
 from gpusorting_tpu.core.config import Mode, get_tuning_parameters
 from gpusorting_tpu.ops import radix16, rts
+
+from boundary_check import make_pairs_checker, run_ranges
 
 TILE_ROWS = get_tuning_parameters(mode=Mode.PAIRS).radix_tile_rows
 assert TILE_ROWS == 2048, f"expected flipped pairs tile, got {TILE_ROWS}"
@@ -29,35 +31,11 @@ B = 2 * tile_elems + 128
 print(f"pairs tile {TILE_ROWS} rows -> boundary bucket B={B}", flush=True)
 
 
-def pair_range_checker(fn):
-    @jax.jit
-    def check_range(n0, count):
-        iota = jax.lax.iota(jnp.uint32, B)
-
-        def body(i, acc):
-            nn = n0 + i
-            bits = (prng.hybrid_taus_bits(B, seed=1) ^ nn) & jnp.uint32(0x3FF)
-            kk = jnp.where(iota < nn, bits, jnp.uint32(0xFFFFFFFF))
-            vv = iota
-            sk, sv = fn(kk, vv)
-            rk, rv = jax.lax.sort((kk, vv), num_keys=1, is_stable=True)
-            return acc + jnp.sum(sk != rk, dtype=jnp.uint32) + jnp.sum(
-                sv != rv, dtype=jnp.uint32)
-
-        return jax.lax.fori_loop(0, count, body, jnp.uint32(0))
-
-    return check_range
-
-
 ranges = [(tile_elems, 16), (tile_elems + tile_elems // 2 - 4, 8),
           (2 * tile_elems - 8, 10)]
 for name, fn in (("radix16", radix16.sort_pairs_radix16),
                  ("rts", rts.sort_pairs_rts)):
-    checker = pair_range_checker(fn)
-    bad = total = 0
-    for n0, cnt in ranges:
-        bad += int(np.asarray(checker(jnp.uint32(n0), cnt)))
-        total += cnt
+    bad, total = run_ranges(make_pairs_checker(fn, B), ranges)
     print(f"[pairs tile2048 boundary {name}] sizes with 0 mismatches: "
           f"{total if bad == 0 else 'FAIL(' + str(bad) + ')'} / {total}",
           flush=True)

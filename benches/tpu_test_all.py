@@ -14,6 +14,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax.numpy as jnp
 import numpy as np
@@ -177,38 +178,13 @@ def main():
     #     GPUSortBase.h:245-248).  GST_EXHAUSTIVE=1 widens to the full
     #     [tile, 2*tile] window.
     from gpusorting_tpu.ops import rts as rts_mod, splitsweep
-    import functools
 
-    import jax as _jx
+    # the shared bucketed traced-size checkers (benches/boundary_check.py)
+    from boundary_check import (make_keys_checker, make_pairs_checker,
+                                run_ranges)
 
     tile_elems = 512 * 128
     B = 2 * tile_elems + 128  # fixed bucket covering [tile, 2*tile+1]
-
-    def _range_checker(eng):
-        """ONE compile for EVERY size: the engine runs at the fixed bucket
-        shape B; the size n is a TRACED scalar realized as sentinel
-        masking (0xFFFFFFFF pads sort last and compare equal against the
-        identically-padded XLA oracle), and a fori_loop chains CHUNK
-        consecutive sizes per scalar readback.  This is the glue-bucketing
-        that makes the reference's full [partition, 2*partition] sweep
-        (GPUSortBase.h:245-248) affordable on this rig (round-2 cost was a
-        ~13 s XLA glue compile PER SIZE)."""
-
-        @_jx.jit
-        def check_range(n0, count):
-            iota = _jx.lax.iota(jnp.uint32, B)
-
-            def body(i, acc):
-                nn = n0 + i
-                bits = prng.hybrid_taus_bits(B, seed=0) ^ nn
-                padded = jnp.where(iota < nn, bits, jnp.uint32(0xFFFFFFFF))
-                a = eng(padded)
-                b = _jx.lax.sort((padded,), num_keys=1, is_stable=False)[0]
-                return acc + jnp.sum(a != b, dtype=jnp.uint32)
-
-            return _jx.lax.fori_loop(0, count, body, jnp.uint32(0))
-
-        return check_range
 
     engines = {
         "radix16": lambda x: radix16.sort_codes_radix16(x),
@@ -225,11 +201,7 @@ def main():
         ranges = [(tile_elems, 160), (2 * tile_elems - 160, 162),
                   (tile_elems + tile_elems // 2 - 8, 16)]
     for name, eng in engines.items():
-        checker = _range_checker(eng)
-        bad = total = 0
-        for n0, cnt in ranges:
-            bad += int(np.asarray(checker(jnp.uint32(n0), cnt)))
-            total += cnt
+        bad, total = run_ranges(make_keys_checker(eng, B), ranges)
         print(f"[boundary {name}] sizes with 0 mismatches: "
               f"{total if bad == 0 else 'FAIL'} / {total} "
               f"(bucketed driver, {len(ranges)} compiles total)",
@@ -237,36 +209,12 @@ def main():
     # pairs boundary (stable) through radix16 and rts — same bucketed
     # traced-size driver; duplicate-heavy keys + distinct payloads so the
     # comparison checks STABILITY, not just order
-    def _pair_range_checker(fn):
-        @_jx.jit
-        def check_range(n0, count):
-            iota = _jx.lax.iota(jnp.uint32, B)
-
-            def body(i, acc):
-                nn = n0 + i
-                bits = (prng.hybrid_taus_bits(B, seed=1) ^ nn) & jnp.uint32(
-                    0x3FF)
-                kk = jnp.where(iota < nn, bits, jnp.uint32(0xFFFFFFFF))
-                vv = iota
-                sk, sv = fn(kk, vv)
-                rk, rv = _jx.lax.sort((kk, vv), num_keys=1, is_stable=True)
-                return acc + jnp.sum(sk != rk, dtype=jnp.uint32) + jnp.sum(
-                    sv != rv, dtype=jnp.uint32)
-
-            return _jx.lax.fori_loop(0, count, body, jnp.uint32(0))
-
-        return check_range
-
     pranges = ([(tile_elems, 16), (2 * tile_elems - 8, 10)]
                if os.environ.get("GST_EXHAUSTIVE") != "1"
                else [(tile_elems + 512 * c, 16) for c in range(0, 129, 8)])
     for pname, pfn in (("radix16", radix16.sort_pairs_radix16),
                        ("rts", rts_mod.sort_pairs_rts)):
-        checker = _pair_range_checker(pfn)
-        bad = total = 0
-        for n0, cnt in pranges:
-            bad += int(np.asarray(checker(jnp.uint32(n0), cnt)))
-            total += cnt
+        bad, total = run_ranges(make_pairs_checker(pfn, B), pranges)
         print(f"[boundary pairs {pname}] sizes with 0 mismatches: "
               f"{total if bad == 0 else 'FAIL'} / {total}", flush=True)
 

@@ -209,8 +209,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_config_args(sp)
     sp.add_argument("--window", type=int, default=None,
                     help="boundary window start (default: tuner partition)")
-    sp.add_argument("--stride", type=int, default=1,
-                    help="sweep stride; 1 = exhaustive reference sweep")
+    sp.add_argument("--stride", type=int, default=257,
+                    help="sweep stride; 1 = the exhaustive reference sweep "
+                         "(GPUSortBase.h:245-248 — at the default 2^18 "
+                         "partition that is 262k sizes, hours-to-weeks of "
+                         "wall time; the default prime stride covers every "
+                         "mod-128 lane residue in ~1k sizes)")
     sp.add_argument("--large", nargs="*", default=["2^21"],
                     help="large sizes (accepts 2^k)")
     sp.set_defaults(fn=cmd_test)

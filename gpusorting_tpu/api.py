@@ -205,16 +205,20 @@ class GPUSorterBase:
         seed: int = 10,
         entropy: EntropyPreset = EntropyPreset.E100,
     ) -> dict:
+        # thread the manual tuning override exactly as sort()/make_sort_fn
+        # do — benchmarking must time the same configuration sort() runs
         if self.config.mode == Mode.PAIRS:
             def fn(codes):
                 k, _ = ops.sort_pairs(
-                    codes, codes, Order.ASCENDING, self.config.backend, self.variant
+                    codes, codes, Order.ASCENDING, self.config.backend,
+                    self.variant, self._tile_override
                 )
                 return k
         else:
             def fn(codes):
                 return ops.sort(
-                    codes, Order.ASCENDING, self.config.backend, self.variant
+                    codes, Order.ASCENDING, self.config.backend,
+                    self.variant, self._tile_override
                 )
 
         res = timing.batch_timing(fn, n, batch=batch, seed=seed, entropy=entropy)

@@ -123,13 +123,25 @@ def sort_pairs(
     return out_k, out_v
 
 
-# Row-length crossover for independent row sorts: at L >= 2^17 a `lax.map`
+# Row-length crossover for independent row sorts: beyond it a `lax.map`
 # of flat per-row sorts beats one batched minor-axis sort because each
-# mapped sort stays VMEM-resident (r3 hardware: 2^22 total pairs, L=2^18
-# map 1.21 G vs batched 0.62 G; the same mechanism holds the flat 2^24
-# chunk rate at any total size — benches/RESULTS.md).  Shared by the
-# public sort_batched surface and segsort's fixed-length dispatch.
-MAP_ROWS_MIN = 131072
+# mapped sort stays VMEM-resident (the mechanism that also holds the flat
+# 2^24 chunk rate at any total size).  Mode-specific, from the r3
+# refinement run (benches/logs/hw_sort_batched2_r3.log, v5e):
+#   keys  — batched wins at L=2^14 (2.21 vs 1.66 G), mapped at L=2^15
+#           (2.37 vs 1.86 G) -> threshold 2^15
+#   pairs — mapped wins at L=2^16 (0.89 vs 0.57 G); at L=2^16 the segsort
+#           probe (S=64 rows) measured the two within noise -> 2^16 is the
+#           earliest measured-safe switch
+# Shared by the public sort_batched surface and segsort's fixed-length
+# dispatch (identical code shape: same row sorts, same lax.map).
+MAP_ROWS_MIN_KEYS = 32768
+MAP_ROWS_MIN_PAIRS = 65536
+
+
+def map_rows_min(has_payload: bool) -> int:
+    """Measured mapped-vs-batched row-sort crossover for this mode."""
+    return MAP_ROWS_MIN_PAIRS if has_payload else MAP_ROWS_MIN_KEYS
 
 
 def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
@@ -139,15 +151,15 @@ def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
     The many-independent-arrays workload shape; descending is the per-row
     element-wise reverse of the stable ascending result (reference
     DescendingIndex semantics applied row-wise).  Routes by the measured
-    VMEM-residency crossover (MAP_ROWS_MIN): giant rows run as a `lax.map`
-    of flat per-row sorts (~2x the batched minor-axis form on v5e),
+    VMEM-residency crossover (map_rows_min): giant rows run as a `lax.map`
+    of flat per-row sorts (~1.3-2x the batched minor-axis form on v5e),
     shorter rows as one batched dimension sort.
     """
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
     L = codes.shape[1]
     if values is None:
-        if L >= MAP_ROWS_MIN:
+        if L >= MAP_ROWS_MIN_KEYS:
             sk = jax.lax.map(lambda r: sort_all_keys_unstable((r,))[0], codes)
         else:
             (sk,) = sort_all_keys_unstable((codes,), dimension=1)
@@ -156,7 +168,7 @@ def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
             out = jnp.flip(out, axis=1)
         return out
     bits = codec.payload_to_bits(values)
-    if L >= MAP_ROWS_MIN:
+    if L >= MAP_ROWS_MIN_PAIRS:
         sk, sb = jax.lax.map(
             lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
             (codes, bits))

@@ -85,13 +85,16 @@ def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
     return int(L)
 
 
-# Fixed-length giant-segment crossover: at L >= 2^17 a `lax.map` of flat
-# per-segment sorts beats the batched minor-axis sort (r3 hardware probe,
-# 2^22 total pairs: L=2^18 map 1.21 G vs batched 0.62 G — 1.95x; L=2^16
-# within noise; L=2^14 batched wins 2.51 vs 2.10).  Same mechanism as the
-# flagship lax.map discovery: each mapped sort stays VMEM-resident.
-# Shared with the public row-sort surface (ops.xla_sort.sort_batched).
-_MAP_FIXED_MIN = xla_sort.MAP_ROWS_MIN
+# Fixed-length giant-segment crossover: beyond it a `lax.map` of flat
+# per-segment sorts beats the batched minor-axis sort (r3 hardware probes:
+# 2^22 total pairs L=2^18 map 1.21 G vs batched 0.62 G, L=2^14 batched
+# wins 2.51 vs 2.10; refinement run hw_sort_batched2_r3 pins the
+# crossovers at 2^15 keys / 2^16 pairs).  Same mechanism as the flagship
+# lax.map discovery: each mapped sort stays VMEM-resident.  Shared with
+# the public row-sort surface (ops.xla_sort.sort_batched — identical code
+# shape), hence the shared mode-specific constants.
+_MAP_FIXED_MIN_KEYS = xla_sort.MAP_ROWS_MIN_KEYS
+_MAP_FIXED_MIN_PAIRS = xla_sort.MAP_ROWS_MIN_PAIRS
 
 
 def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
@@ -102,21 +105,21 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     segments (probes/PROBES.md).  This is the TPU-native analog of the
     reference's per-bin specialized kernels (SplitSort.cuh:751-930): the
     "bin" is the static row length, the batch axis replaces the grid.
-    Giant fixed segments (L >= _MAP_FIXED_MIN) run as a `lax.map` of flat
-    per-segment sorts instead (the reference's grid-strided SortGt8192
-    region, SplitSort.cuh:455-573).
+    Giant fixed segments (L >= the mode's _MAP_FIXED_MIN) run as a
+    `lax.map` of flat per-segment sorts instead (the reference's
+    grid-strided SortGt8192 region, SplitSort.cuh:455-573).
     """
     k2 = codes.reshape(seg_count, L)
     if payload_bits is None:
         # keys-only on bare codes: the all-keys invariant holds
-        if L >= _MAP_FIXED_MIN:
+        if L >= _MAP_FIXED_MIN_KEYS:
             sk = jax.lax.map(
                 lambda r: xla_sort.sort_all_keys_unstable((r,))[0], k2)
         else:
             (sk,) = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
         return sk.reshape(-1), None
     v2 = payload_bits.reshape(seg_count, L)
-    if L >= _MAP_FIXED_MIN:
+    if L >= _MAP_FIXED_MIN_PAIRS:
         sk, sv = jax.lax.map(
             lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
             (k2, v2))
@@ -163,10 +166,18 @@ _SPLIT_MAX_TAIL = 0.25     # max elem fraction in the long tail
 _SPLIT_MIN_SHRINK = 4      # min window-size ratio to justify the split
 
 
-def _window_dispatch(seg_offsets, total: int, seg_count: int):
+def _window_dispatch(seg_offsets, total: int, seg_count: int,
+                     bits_to_sort: int = 32, has_payload: bool = False):
     """Host-side dispatch plan off the 14-bucket length histogram — the
     analog of the reference's segInfo readback + per-bin launch decision
     (SplitSort.cuh:654-668, SplitSortBinning.cuh:360-438).
+
+    bits_to_sort/has_payload identify the key mode so window feasibility
+    is judged against the cap of the mode that would actually run
+    (stable3 caps at 16384, keys2/fused at 32768 — _pick_window_mode);
+    judging every mode against the keys cap made full-32-bit-key pairs
+    workloads with maxlen in (16384, 32768] skip a length-class split
+    they qualified for and fall to the ~0.5 G composite.
 
     Returns None (composite / traced offsets) or a dict:
       {"ml", "sid_bits"}          — whole-workload window ladder terms
@@ -210,7 +221,12 @@ def _window_dispatch(seg_offsets, total: int, seg_count: int):
             small = lens <= T
             tail_elems = int(lens[~small].sum())
             ml_small = int(lens[small].max()) if small.any() else 0
-            infeasible = hist["gt_count"] > 0 or ml > _WINDOW_MAX_KEYS
+            # infeasible == the whole-workload window ladder cannot run in
+            # the mode this workload would get (exactly the check the
+            # caller applies to plan["ml"] afterwards)
+            infeasible = "ml" not in plan or _pick_window_mode(
+                plan["ml"], plan["sid_bits"], bits_to_sort,
+                has_payload) is None
             shrink_ok = (1 << (max(1, ml - 1)).bit_length()) >= (
                 _SPLIT_MIN_SHRINK * (1 << (max(1, ml_small - 1)).bit_length()))
             if (0 < tail_elems <= _SPLIT_MAX_TAIL * total
@@ -509,7 +525,9 @@ def _dispatch_random_lengths(seg_offsets, codes, payloads: tuple, total: int,
                              has_payload: bool):
     """Histogram-driven random-length dispatch: length-class split, whole
     window ladder, or None (caller falls to the composite)."""
-    plan = _window_dispatch(seg_offsets, total, seg_count)
+    plan = _window_dispatch(seg_offsets, total, seg_count,
+                            bits_to_sort=bits_to_sort,
+                            has_payload=has_payload)
     if not plan:
         return None
     split = plan.get("split")
@@ -627,7 +645,7 @@ def split_sort_pairs_wide(
     if L is not None and L > 1:
         S = total_seg_count
         ops3 = (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L))
-        if L >= _MAP_FIXED_MIN:
+        if L >= _MAP_FIXED_MIN_PAIRS:
             sc, slo, shi = jax.lax.map(
                 lambda abc: jax.lax.sort(abc, num_keys=1, is_stable=True),
                 ops3)

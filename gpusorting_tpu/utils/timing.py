@@ -90,8 +90,12 @@ def batch_timing(
         # when the sort chain doesn't measurably exceed the gen-only chain
         # (tiny n / small batch vs the ~25-30 ms RPC overhead), the
         # subtraction is noise, not signal — flag it instead of reporting a
-        # physically impossible rate
-        floored = floored or (t_with - t_gen) <= 1e-9 * batch
+        # physically impossible rate.  "Measurably" = the net chain time
+        # clears both an absolute floor (a fraction of the rig's RPC
+        # jitter) and a relative one (2% of the gen-only chain, the scale
+        # dispatch-noise grows with); a merely-positive few-ms difference
+        # is still noise, not sort time
+        floored = floored or (t_with - t_gen) <= max(5e-3, 0.02 * t_gen)
         per_sorts.append(max(t_with - t_gen, 1e-9) / batch)
     wall = time.perf_counter() - wall0
 

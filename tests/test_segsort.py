@@ -391,7 +391,7 @@ def test_fixed_length_giant_map_path():
     """Fixed L >= _MAP_FIXED_MIN routes to the lax.map per-segment flat
     sort (the SortGt8192 grid-strided region analog); oracle-exact for
     keys, pairs, and the 64-bit wide payload form."""
-    L = splitsort._MAP_FIXED_MIN
+    L = splitsort._MAP_FIXED_MIN_PAIRS
     S = 2
     total = S * L
     offs = jnp.asarray(np.arange(S, dtype=np.uint32) * L)
@@ -523,3 +523,41 @@ def test_packed_under_jit_clear_error():
 
     with pytest.raises(ValueError, match="host-known"):
         jax.jit(f)(offs, keys)
+
+
+def test_split_feasibility_uses_mode_cap():
+    """A full-32-bit-key pairs workload whose maxlen exceeds the stable3
+    window cap (16384) but not the keys cap (32768) must still take the
+    length-class split when the bulk qualifies: feasibility is judged
+    against the cap of the mode that would actually run (r3 review fix —
+    the keys-cap check made exactly these workloads fall to the
+    composite)."""
+    lens = [10000] * 30 + [20000] * 3
+    total = sum(lens)
+    offs = jnp.asarray(
+        np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.uint32))
+    cnt = len(lens)
+
+    # pairs mode (stable3: shrink fails, whole window infeasible) -> split
+    plan = splitsort._window_dispatch(offs, total, cnt, bits_to_sort=32,
+                                      has_payload=True)
+    assert plan is not None and "split" in plan
+    assert plan["split"]["ml"] == 10000
+    # the bulk mode itself must be runnable
+    bmode = splitsort._pick_window_mode(
+        plan["split"]["ml"], plan["split"]["sid_bits"], 32, True)
+    assert bmode == "stable3"
+
+    # keys mode: whole window feasible (keys2 cap 32768) and shrink too
+    # small -> no split, whole-window plan stands (unchanged behavior)
+    kplan = splitsort._window_dispatch(offs, total, cnt, bits_to_sort=32,
+                                       has_payload=False)
+    assert kplan is not None and "split" not in kplan and kplan["ml"] == 20000
+
+    # end-to-end: the split route is bit-exact vs the composite oracle
+    keys = prng.make_test_keys(total, seed=77)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = splitsort.split_sort_pairs(offs, keys, vals, cnt)
+    ck, cv = _seg_oracle(offs, total, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), np.asarray(ck))
+    np.testing.assert_array_equal(np.asarray(sv), np.asarray(cv))
