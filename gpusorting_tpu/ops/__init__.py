@@ -72,36 +72,17 @@ def sort_pairs_wide(
     """Stable pair sort with a 64-bit payload as two u32 planes (lo, hi).
 
     The TPU-native 64-bit payload representation: works regardless of the
-    jax x64 flag (64-bit dtypes silently truncate without it).
-    variant="device_radix" rides the native radix pipeline (3 operands).
+    jax x64 flag (64-bit dtypes silently truncate without it).  Every
+    variant carries the two planes through its own engine
+    (radix.sort_codes_with_rides — the same dispatch 32-bit payloads get).
     """
     _check_lengths(keys, lo, hi)
     b = _resolve(backend)
     if b == Backend.PALLAS:
-        from ..core import codec
+        from . import radix
 
-        kt = codec.key_type_of(keys)
-        if variant == "device_radix":
-            # the native radix pipeline carries any number of ride-along
-            # operands: the 64-bit payload is simply two of them
-            from . import radix16
-
-            sc, slo, shi = radix16._sort_radix16(
-                (codec.encode_keys(keys), lo.view(jnp.uint32),
-                 hi.view(jnp.uint32)),
-                tile_rows or radix16._default_tile_rows(pairs=True))
-        else:
-            from . import bitonic
-
-            sc, slo, shi = bitonic.sort_codes_stable_with(
-                codec.encode_keys(keys), lo.view(jnp.uint32),
-                hi.view(jnp.uint32))
-        out_k = codec.decode_keys(sc, kt)
-        if order == Order.DESCENDING:
-            out_k = jnp.flip(out_k, axis=0)
-            slo = jnp.flip(slo, axis=0)
-            shi = jnp.flip(shi, axis=0)
-        return out_k, slo.view(lo.dtype), shi.view(hi.dtype)
+        return radix.sort_pairs_wide(keys, lo, hi, order=order,
+                                     variant=variant, tile_rows=tile_rows)
     return xla_sort.sort_pairs_wide(keys, lo, hi, order=order)
 
 

@@ -41,16 +41,24 @@ from .radix16 import LANES, NBUCKETS, _is_tpu, _within_row_sort_schedule
 from .rts import run_downsweep_chunks
 
 # FFX fixed tuning: one tile size for every device (FFXParallelSort.cpp:
-# 28-43 hardcodes 2048 keys/threadgroup); 256 rows x 128 lanes here.
-_FFX_TILE_ROWS = 256
+# 28-43 hardcodes 2048 keys/threadgroup); 256 rows x 128 lanes here.  The
+# value is recorded in the routing tuner for auditability
+# (core.config.RoutingParameters.ffx_tile_rows) — fixed tuning is this
+# baseline's identity, so autotune never sweeps it.
 _TILES_PER_BLOCK = 32
+
+
+def _ffx_tile_rows() -> int:
+    from ..core.config import get_routing_parameters
+
+    return get_routing_parameters().ffx_tile_rows
 
 
 def _sort_ffx(operands, interpret: bool | None = None):
     """Core 8-pass LSD radix-16 via the 5-stage FFX pipeline."""
     if interpret is None:
         interpret = not _is_tpu()
-    tile_rows = _FFX_TILE_ROWS
+    tile_rows = _ffx_tile_rows()
     num_ops = len(operands)
     n = operands[0].shape[0]
     rows = max(tile_rows, -(-n // LANES))

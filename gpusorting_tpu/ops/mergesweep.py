@@ -61,9 +61,14 @@ import os as _os
 
 _USE_HYPER = _os.environ.get("GST_MERGESWEEP_HYPER", "0") == "1"
 
-# Segment length for the mapped phase-1 sorts: 2^24 i32 = 64 MB is the
-# measured VMEM-residency edge of XLA's flat sort on v5e (13 ms/segment).
-_SEG_ELEMS = 1 << 24
+def _default_seg_elems() -> int:
+    """Segment length for the mapped phase-1 sorts: 2^24 i32 = 64 MB is the
+    measured VMEM-residency edge of XLA's flat sort on v5e (13 ms/segment);
+    the value lives in the routing tuner so other generations can override
+    it (core.config.RoutingParameters.mergesweep_seg_elems)."""
+    from ..core.config import get_routing_parameters
+
+    return get_routing_parameters().mergesweep_seg_elems
 
 
 def _tile_rows_for(num_ops: int, R: int) -> int:
@@ -302,7 +307,7 @@ def merge_sort_network_i32(
     n = operands[0].shape[0]
     num_ops = len(operands)
     N = max(1024, 1 << (n - 1).bit_length())
-    L = seg_elems or _SEG_ELEMS
+    L = seg_elems or _default_seg_elems()
     if L & (L - 1):
         raise ValueError(f"seg_elems must be a power of two, got {L}")
     L = min(L, N)

@@ -171,11 +171,11 @@ def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
     return packed[:n]
 
 
-def sort_pairs_splitsweep(codes: jnp.ndarray, payload: jnp.ndarray,
-                          tile_rows: int | None = None,
-                          oversample: int = 64, slack: float = 1.35,
-                          interpret: bool | None = None):
-    """STABLE pair sort via the splitter partition.
+def sort_stable_with_splitsweep(codes: jnp.ndarray, *ride: jnp.ndarray,
+                                tile_rows: int | None = None,
+                                oversample: int = 64, slack: float = 1.35,
+                                interpret: bool | None = None):
+    """STABLE sort of u32 codes with any number of u32 ride-along operands.
 
     Stability: the partition preserves in-bucket relative order (rows in
     order, tiles in order; boundary ties split by position), and each
@@ -183,7 +183,12 @@ def sort_pairs_splitsweep(codes: jnp.ndarray, payload: jnp.ndarray,
     keys keep original order end to end.  Gap sentinels carry the largest
     indices and sort strictly last, so count-prefix assembly is exact even
     with real 0xFFFFFFFF keys.  Bit-exact with
-    jax.lax.sort((codes, payload), is_stable=True).
+    jax.lax.sort((codes, *ride), is_stable=True).
+
+    The ride count is unbounded (the partition kernel and the bucket
+    sub-sorts carry operand tuples); 2 rides = the lo/hi planes of a 64-bit
+    payload (SplitSort payload V in {uint32_t, double}, SplitSort.cuh:702).
+    Returns (sorted_codes, *permuted_rides).
     """
     if interpret is None:
         interpret = not _is_tpu()
@@ -195,10 +200,12 @@ def sort_pairs_splitsweep(codes: jnp.ndarray, payload: jnp.ndarray,
     rows = max(tile_rows, -(-n // LANES))
     rows = -(-rows // tile_rows) * tile_rows
     pad = rows * LANES - n
-    x, p = codes, payload.view(jnp.uint32)
+    x = codes
+    ps = tuple(r.view(jnp.uint32) for r in ride)
     if pad:
         x = jnp.concatenate([x, jnp.full((pad,), _SENTINEL, jnp.uint32)])
-        p = jnp.concatenate([p, jnp.zeros((pad,), jnp.uint32)])
+        ps = tuple(jnp.concatenate([p, jnp.zeros((pad,), jnp.uint32)])
+                   for p in ps)
     np_total = rows * LANES
 
     pos = jnp.arange(np_total, dtype=jnp.uint32)
@@ -211,43 +218,53 @@ def sort_pairs_splitsweep(codes: jnp.ndarray, payload: jnp.ndarray,
     cap = cap_rows * LANES
 
     def run_partition(args):
-        xf, pf = args
         b2 = bucket.reshape(rows, LANES)
-        ok, op = _partition_16(
-            (xf.reshape(rows, LANES).view(jnp.int32),
-             pf.reshape(rows, LANES).view(jnp.int32)),
+        outs = _partition_16(
+            tuple(a.reshape(rows, LANES).view(jnp.int32) for a in args),
             b2, cap_rows, tile_rows, interpret)
 
-        kreg = ok.reshape(NBUCKETS, cap).view(jnp.uint32)
-        preg = op.reshape(NBUCKETS, cap).view(jnp.uint32)
+        kreg = outs[0].reshape(NBUCKETS, cap).view(jnp.uint32)
+        pregs = tuple(o.reshape(NBUCKETS, cap).view(jnp.uint32)
+                      for o in outs[1:])
         in_idx = jax.lax.broadcasted_iota(jnp.int32, (NBUCKETS, cap), 1)
         valid = in_idx < counts[:, None]
         kreg = jnp.where(valid, kreg, _SENTINEL)
 
         def sub_sort(args2):
-            k, v = args2
             iota = jax.lax.iota(jnp.int32, cap)
-            sk, _, sv = jax.lax.sort((k, iota, v), num_keys=2,
-                                     is_stable=False)
-            return sk, sv
+            res = jax.lax.sort((args2[0], iota) + tuple(args2[1:]),
+                               num_keys=2, is_stable=False)
+            return (res[0],) + tuple(res[2:])
 
-        sk, sv = jax.lax.map(sub_sort, (kreg, preg))
-        (pk, pv), _cnt = stitch.compact_ops(
-            (sk.reshape(-1), sv.reshape(-1)), valid.reshape(-1),
-            interpret=interpret)
-        return pk[:NBUCKETS * cap], pv[:NBUCKETS * cap]
+        sorted_regions = jax.lax.map(sub_sort, (kreg,) + pregs)
+        packed, _cnt = stitch.compact_ops(
+            tuple(s.reshape(-1) for s in sorted_regions),
+            valid.reshape(-1), interpret=interpret)
+        return tuple(pk[:NBUCKETS * cap] for pk in packed)
 
     def run_fallback(args):
         # overflowed sample: exact stable flat sort instead (see keys path)
-        xf, pf = args
         iota = jax.lax.iota(jnp.int32, np_total)
-        sk, _, sv = jax.lax.sort((xf, iota, pf), num_keys=2,
-                                 is_stable=False)
+        res = jax.lax.sort((args[0], iota) + tuple(args[1:]), num_keys=2,
+                           is_stable=False)
         tail = NBUCKETS * cap - np_total
-        return (jnp.concatenate([sk, jnp.full((tail,), _SENTINEL,
-                                              jnp.uint32)]),
-                jnp.concatenate([sv, jnp.zeros((tail,), jnp.uint32)]))
+        outs = [jnp.concatenate(
+            [res[0], jnp.full((tail,), _SENTINEL, jnp.uint32)])]
+        outs += [jnp.concatenate([r, jnp.zeros((tail,), jnp.uint32)])
+                 for r in res[2:]]
+        return tuple(outs)
 
     overflow = jnp.max(counts) > jnp.int32(cap)
-    pk, pv = jax.lax.cond(overflow, run_fallback, run_partition, (x, p))
-    return pk[:n], pv[:n]
+    outs = jax.lax.cond(overflow, run_fallback, run_partition, (x,) + ps)
+    return tuple(o[:n] for o in outs)
+
+
+def sort_pairs_splitsweep(codes: jnp.ndarray, payload: jnp.ndarray,
+                          tile_rows: int | None = None,
+                          oversample: int = 64, slack: float = 1.35,
+                          interpret: bool | None = None):
+    """STABLE pair sort via the splitter partition (single-ride form of
+    `sort_stable_with_splitsweep`; bit-exact with lax.sort stable)."""
+    return sort_stable_with_splitsweep(
+        codes, payload, tile_rows=tile_rows, oversample=oversample,
+        slack=slack, interpret=interpret)

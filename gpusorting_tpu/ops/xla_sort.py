@@ -123,25 +123,29 @@ def sort_pairs(
     return out_k, out_v
 
 
-# Row-length crossover for independent row sorts: beyond it a `lax.map`
-# of flat per-row sorts beats one batched minor-axis sort because each
-# mapped sort stays VMEM-resident (the mechanism that also holds the flat
-# 2^24 chunk rate at any total size).  Mode-specific, from the r3
-# refinement run (benches/logs/hw_sort_batched2_r3.log, v5e):
-#   keys  — batched wins at L=2^14 (2.21 vs 1.66 G), mapped at L=2^15
-#           (2.37 vs 1.86 G) -> threshold 2^15
-#   pairs — mapped wins at L=2^16 (0.89 vs 0.57 G); at L=2^16 the segsort
-#           probe (S=64 rows) measured the two within noise -> 2^16 is the
-#           earliest measured-safe switch
-# Shared by the public sort_batched surface and segsort's fixed-length
-# dispatch (identical code shape: same row sorts, same lax.map).
-MAP_ROWS_MIN_KEYS = 32768
-MAP_ROWS_MIN_PAIRS = 65536
-
-
 def map_rows_min(has_payload: bool) -> int:
-    """Measured mapped-vs-batched row-sort crossover for this mode."""
-    return MAP_ROWS_MIN_PAIRS if has_payload else MAP_ROWS_MIN_KEYS
+    """Measured mapped-vs-batched row-sort crossover for this mode.
+
+    Beyond it a `lax.map` of flat per-row sorts beats one batched
+    minor-axis sort because each mapped sort stays VMEM-resident (the
+    mechanism that also holds the flat 2^24 chunk rate at any total size).
+    Mode-specific, measured on v5e (benches/logs/hw_sort_batched2_r3.log):
+      keys  — batched wins at L=2^14 (2.21 vs 1.66 G), mapped at L=2^15
+              (2.37 vs 1.86 G) -> threshold 2^15
+      pairs — mapped wins at L=2^16 (0.89 vs 0.57 G); at L=2^16 the
+              segsort probe (S=64 rows) measured the two within noise ->
+              2^16 is the earliest measured-safe switch
+    Shared by the public sort_batched surface and segsort's fixed-length
+    dispatch (identical code shape) — this helper is the ONE source of the
+    crossover (ADVICE r3: it used to be dead code beside module constants
+    that could drift); the values live in the routing tuner
+    (core.config.RoutingParameters) so other generations can override or
+    re-measure them (utils.autotune.autotune_routing).
+    """
+    from ..core.config import get_routing_parameters
+
+    r = get_routing_parameters()
+    return r.map_rows_min_pairs if has_payload else r.map_rows_min_keys
 
 
 def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
@@ -159,7 +163,7 @@ def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
     codes = codec.encode_keys(keys)
     L = codes.shape[1]
     if values is None:
-        if L >= MAP_ROWS_MIN_KEYS:
+        if L >= map_rows_min(False):
             sk = jax.lax.map(lambda r: sort_all_keys_unstable((r,))[0], codes)
         else:
             (sk,) = sort_all_keys_unstable((codes,), dimension=1)
@@ -168,7 +172,7 @@ def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
             out = jnp.flip(out, axis=1)
         return out
     bits = codec.payload_to_bits(values)
-    if L >= MAP_ROWS_MIN_PAIRS:
+    if L >= map_rows_min(True):
         sk, sb = jax.lax.map(
             lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
             (codes, bits))

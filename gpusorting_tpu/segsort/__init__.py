@@ -6,7 +6,10 @@ package top level.
 """
 
 from .splitsort import (
+    SegSortPlan,
     SplitSorter,
+    make_segsort_fn,
+    make_segsort_plan,
     next_fit_bin_packing,
     segment_length_histogram,
     split_sort_allocate_temp_memory,
@@ -17,7 +20,10 @@ from .splitsort import (
 )
 
 __all__ = [
+    "SegSortPlan",
     "SplitSorter",
+    "make_segsort_fn",
+    "make_segsort_plan",
     "next_fit_bin_packing",
     "segment_length_histogram",
     "split_sort_allocate_temp_memory",

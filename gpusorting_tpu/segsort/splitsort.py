@@ -61,6 +61,98 @@ def _check_bounded_bits(bits_to_sort: int, kt: KeyType) -> None:
             f"SplitSort key type); got {kt.name} keys")
 
 
+class SegSortPlan:
+    """Host-computed dispatch plan for one segment layout.
+
+    The reference decides its 14-bin dispatch on the HOST from a 16-word
+    segInfo readback (SplitSort.cuh:654-668) — a deliberate sync.  The TPU
+    analog: compute every host-side inspection (fixed-length detection,
+    the length histogram, window terms, length-class split geometry) ONCE,
+    outside jit, and carry it as a static object.  A jitted caller that
+    passes `plan=` keeps all fast routes (windows/split/fixed); without a
+    plan, traced offsets silently used to fall to the ~0.5 G composite —
+    a 3-28x cliff with no warning (VERDICT r3 missing #3).
+
+    The plan is keyed to ONE offsets array + total length; the sort
+    functions trust it (they cannot re-check traced offsets), so passing a
+    plan built from different offsets returns garbage — the same contract
+    as the reference's segInfo.
+    """
+
+    def __init__(self, seg_offsets, total_length: int,
+                 total_seg_count: int | None = None):
+        try:
+            offs = np.asarray(seg_offsets)
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
+            raise ValueError(
+                "make_segsort_plan requires concrete (host-known) offsets "
+                "— build the plan OUTSIDE jit, then pass it into the "
+                "jitted call (the reference's segInfo host readback, "
+                "SplitSort.cuh:654-668)") from None
+        self.offsets = offs
+        self.total = int(total_length)
+        self.seg_count = int(total_seg_count if total_seg_count is not None
+                             else offs.shape[0])
+        self.fixed_length = _fixed_length_of(offs, self.total, self.seg_count)
+        self._window_plans: dict = {}
+
+    def window_plan(self, bits_to_sort: int, has_payload: bool):
+        """The (cached) _window_dispatch result for one key mode."""
+        key = (bits_to_sort, has_payload)
+        if key not in self._window_plans:
+            self._window_plans[key] = _window_dispatch(
+                self.offsets, self.total, self.seg_count,
+                bits_to_sort=bits_to_sort, has_payload=has_payload)
+        return self._window_plans[key]
+
+
+def make_segsort_plan(seg_offsets, total_length: int,
+                      total_seg_count: int | None = None) -> SegSortPlan:
+    """Build the reusable host-side dispatch plan (see SegSortPlan)."""
+    return SegSortPlan(seg_offsets, total_length, total_seg_count)
+
+
+def make_segsort_fn(plan: SegSortPlan, has_payload: bool = True,
+                    bits_to_sort: int = 32, strategy: str = "auto"):
+    """jit-compiled segmented sort closure bound to one plan.
+
+    Returns fn(seg_offsets, keys[, values]) — the deferred-dispatch analog
+    of the reference's CommandBuffer Sort overloads (OneSweep.cs:297-427):
+    the host decision is baked in, the call is pure device work.
+    """
+    if has_payload:
+        def fn(seg_offsets, keys, values):
+            return split_sort_pairs(
+                seg_offsets, keys, values, plan.seg_count, plan.total,
+                bits_to_sort, strategy=strategy, plan=plan)
+    else:
+        def fn(seg_offsets, keys):
+            return split_sort_keys(
+                seg_offsets, keys, plan.seg_count, bits_to_sort,
+                strategy=strategy, plan=plan)
+    return jax.jit(fn)
+
+
+# one-shot warning when traced offsets silently lose every fast path
+_WARNED_TRACED_OFFSETS = [False]
+
+
+def _warn_traced_offsets_once():
+    if not _WARNED_TRACED_OFFSETS[0]:
+        _WARNED_TRACED_OFFSETS[0] = True
+        import warnings
+
+        warnings.warn(
+            "split_sort called under jit with traced seg_offsets and no "
+            "plan= — every fast route (fixed-length/window/split) needs "
+            "host-known offsets, so this call runs the whole-buffer "
+            "composite sort (up to 28x slower).  Build the plan once "
+            "outside jit: plan = gst.make_segsort_plan(offsets, total); "
+            "then pass plan= (or use gst.make_segsort_fn(plan)).",
+            stacklevel=3)
+
+
 def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
     """If every segment has the same length L, return L, else None.
 
@@ -85,16 +177,15 @@ def _fixed_length_of(seg_offsets, total_length: int, seg_count: int):
     return int(L)
 
 
-# Fixed-length giant-segment crossover: beyond it a `lax.map` of flat
-# per-segment sorts beats the batched minor-axis sort (r3 hardware probes:
-# 2^22 total pairs L=2^18 map 1.21 G vs batched 0.62 G, L=2^14 batched
-# wins 2.51 vs 2.10; refinement run hw_sort_batched2_r3 pins the
+# Fixed-length giant-segment crossover: beyond xla_sort.map_rows_min(mode)
+# a `lax.map` of flat per-segment sorts beats the batched minor-axis sort
+# (r3 hardware probes: 2^22 total pairs L=2^18 map 1.21 G vs batched
+# 0.62 G, L=2^14 batched wins 2.51 vs 2.10; hw_sort_batched2_r3 pins the
 # crossovers at 2^15 keys / 2^16 pairs).  Same mechanism as the flagship
 # lax.map discovery: each mapped sort stays VMEM-resident.  Shared with
 # the public row-sort surface (ops.xla_sort.sort_batched — identical code
-# shape), hence the shared mode-specific constants.
-_MAP_FIXED_MIN_KEYS = xla_sort.MAP_ROWS_MIN_KEYS
-_MAP_FIXED_MIN_PAIRS = xla_sort.MAP_ROWS_MIN_PAIRS
+# shape), hence the shared helper reading the routing tuner
+# (core.config.RoutingParameters).
 
 
 def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
@@ -105,21 +196,21 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     segments (probes/PROBES.md).  This is the TPU-native analog of the
     reference's per-bin specialized kernels (SplitSort.cuh:751-930): the
     "bin" is the static row length, the batch axis replaces the grid.
-    Giant fixed segments (L >= the mode's _MAP_FIXED_MIN) run as a
+    Giant fixed segments (L >= the mode's map_rows_min) run as a
     `lax.map` of flat per-segment sorts instead (the reference's
     grid-strided SortGt8192 region, SplitSort.cuh:455-573).
     """
     k2 = codes.reshape(seg_count, L)
     if payload_bits is None:
         # keys-only on bare codes: the all-keys invariant holds
-        if L >= _MAP_FIXED_MIN_KEYS:
+        if L >= xla_sort.map_rows_min(False):
             sk = jax.lax.map(
                 lambda r: xla_sort.sort_all_keys_unstable((r,))[0], k2)
         else:
             (sk,) = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
         return sk.reshape(-1), None
     v2 = payload_bits.reshape(seg_count, L)
-    if L >= _MAP_FIXED_MIN_PAIRS:
+    if L >= xla_sort.map_rows_min(True):
         sk, sv = jax.lax.map(
             lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
             (k2, v2))
@@ -137,9 +228,8 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
 #   keys-only (2-op unstable / 1-op fused): maxlen 32768 (0.7-1.9 G)
 #   pairs, bounded-bits fused (2-op stable): maxlen 32768 (0.56-1.6 G)
 #   pairs, full 32-bit keys (3-op stable):   maxlen 16384 (0.58-1.0 G)
-_WINDOW_MAX_KEYS = 32768
-_WINDOW_MAX_FUSED = 32768
-_WINDOW_MAX_PAIRS = 16384
+# The caps live in the routing tuner (core.config.RoutingParameters
+# window_max_keys/fused/pairs) so non-v5e generations can override them.
 
 
 def _window_sid_bits(starts: np.ndarray, max_len: int) -> int:
@@ -511,23 +601,35 @@ def _pick_window_mode(ml: int, sid_bits: int, bits_to_sort: int,
                       has_payload: bool):
     """Key-mode ladder for the window path (round-3 hardware sweep,
     benches/RESULTS.md): fused when the bounded-bits key fits, else the
-    cheapest correct multi-operand sort under the measured window caps."""
+    cheapest correct multi-operand sort under the measured window caps
+    (routing tuner rows window_max_keys/fused/pairs)."""
+    from ..core.config import get_routing_parameters
+
+    r = get_routing_parameters()
     fusable = sid_bits + bits_to_sort <= 31
-    if fusable and ml <= _WINDOW_MAX_FUSED:
+    if fusable and ml <= r.window_max_fused:
         return "fused"
     if not has_payload:
-        return "keys2" if ml <= _WINDOW_MAX_KEYS else None
-    return "stable3" if ml <= _WINDOW_MAX_PAIRS else None
+        return "keys2" if ml <= r.window_max_keys else None
+    return "stable3" if ml <= r.window_max_pairs else None
 
 
-def _dispatch_random_lengths(seg_offsets, codes, payloads: tuple, total: int,
-                             seg_count: int, bits_to_sort: int,
+def _concrete_or_none(seg_offsets):
+    """Host numpy view of the offsets, or None when traced under jit."""
+    try:
+        return np.asarray(seg_offsets)
+    except (jax.errors.ConcretizationTypeError,
+            jax.errors.TracerArrayConversionError):
+        return None
+
+
+def _dispatch_random_lengths(plan, seg_offsets, codes, payloads: tuple,
+                             total: int, seg_count: int, bits_to_sort: int,
                              has_payload: bool):
     """Histogram-driven random-length dispatch: length-class split, whole
-    window ladder, or None (caller falls to the composite)."""
-    plan = _window_dispatch(seg_offsets, total, seg_count,
-                            bits_to_sort=bits_to_sort,
-                            has_payload=has_payload)
+    window ladder, or None (caller falls to the composite).  `plan` is the
+    _window_dispatch dict (from a SegSortPlan under jit, or computed
+    inline from concrete offsets)."""
     if not plan:
         return None
     split = plan.get("split")
@@ -560,6 +662,7 @@ def split_sort_pairs(
     total_seg_length: int | None = None,
     bits_to_sort: int = 32,
     strategy: str = "auto",
+    plan: SegSortPlan | None = None,
 ):
     """Sort each segment independently; stable within segments.
 
@@ -567,6 +670,10 @@ def split_sort_pairs(
     `values=None` gives the keys-only form.  `strategy="packed"` forces the
     NextFitBinPacking gather path (every segment must be <= 32 long and the
     offsets host-known); "auto" picks by measurement (windows).
+
+    `plan` (gst.make_segsort_plan) carries the host-side dispatch decisions
+    so jitted callers with traced offsets keep the fast routes; without it,
+    traced offsets fall to the composite path (warned once).
     """
     if not (4 <= bits_to_sort <= 32):
         raise ValueError("bits_to_sort must be in [4, 32] (reference contract)")
@@ -578,6 +685,12 @@ def split_sort_pairs(
     bits = None if values is None else codec.payload_to_bits(values)
 
     total = keys.shape[0] if total_seg_length is None else total_seg_length
+    if plan is not None and (plan.seg_count != total_seg_count
+                             or plan.total != total):
+        raise ValueError(
+            f"plan was built for (seg_count={plan.seg_count}, "
+            f"total={plan.total}), this call has ({total_seg_count}, "
+            f"{total})")
     if strategy == "packed":
         payloads = () if bits is None else (bits,)
         sc, ps = _packed_bins_segmented_sort(
@@ -587,13 +700,24 @@ def split_sort_pairs(
         if values is None:
             return out_k
         return out_k, codec.bits_to_payload(sb, values.dtype)
-    L = _fixed_length_of(seg_offsets, total, total_seg_count)
+    if plan is not None:
+        L = plan.fixed_length
+    else:
+        L = _fixed_length_of(seg_offsets, total, total_seg_count)
     if L is not None and L > 1:
         sc, sb = _batched_segmented_sort(codes, bits, total_seg_count, L)
     else:
         payloads = () if bits is None else (bits,)
+        if plan is not None:
+            wp = plan.window_plan(bits_to_sort, bits is not None)
+        else:
+            if _concrete_or_none(seg_offsets) is None:
+                _warn_traced_offsets_once()
+            wp = _window_dispatch(seg_offsets, total, total_seg_count,
+                                  bits_to_sort=bits_to_sort,
+                                  has_payload=bits is not None)
         res = _dispatch_random_lengths(
-            seg_offsets, codes, payloads, total, total_seg_count,
+            wp, seg_offsets, codes, payloads, total, total_seg_count,
             bits_to_sort, has_payload=bits is not None)
         if res is not None:
             sc, ps = res
@@ -618,12 +742,14 @@ def split_sort_pairs_wide(
     total_seg_length: int | None = None,
     bits_to_sort: int = 32,
     strategy: str = "auto",
+    plan: SegSortPlan | None = None,
 ):
     """Segmented pair sort with a 64-bit payload as two u32 planes.
 
     Covers the reference's ``SplitSortPairs<BITS, double>`` instantiation
     (SplitSort.cuh:702; payload V in {uint32_t, double}) without requiring
-    the jax x64 flag: the two planes ride the same stable sort.
+    the jax x64 flag: the two planes ride the same stable sort.  `plan`
+    keeps the fast routes under jit (see split_sort_pairs).
     """
     if not (4 <= bits_to_sort <= 32):
         raise ValueError("bits_to_sort must be in [4, 32] (reference contract)")
@@ -636,16 +762,25 @@ def split_sort_pairs_wide(
     hi32 = hi.view(jnp.uint32)
     total = keys.shape[0] if total_seg_length is None else total_seg_length
     n = codes.shape[0]
+    if plan is not None and (plan.seg_count != total_seg_count
+                             or plan.total != total):
+        raise ValueError(
+            f"plan was built for (seg_count={plan.seg_count}, "
+            f"total={plan.total}), this call has ({total_seg_count}, "
+            f"{total})")
 
     if strategy == "packed":
         sc, (slo, shi) = _packed_bins_segmented_sort(
             seg_offsets, codes, (lo32, hi32), total_seg_count, total)
         return codec.decode_keys(sc, kt), slo.view(lo.dtype), shi.view(hi.dtype)
-    L = _fixed_length_of(seg_offsets, total, total_seg_count)
+    if plan is not None:
+        L = plan.fixed_length
+    else:
+        L = _fixed_length_of(seg_offsets, total, total_seg_count)
     if L is not None and L > 1:
         S = total_seg_count
         ops3 = (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L))
-        if L >= _MAP_FIXED_MIN_PAIRS:
+        if L >= xla_sort.map_rows_min(True):
             sc, slo, shi = jax.lax.map(
                 lambda abc: jax.lax.sort(abc, num_keys=1, is_stable=True),
                 ops3)
@@ -654,8 +789,16 @@ def split_sort_pairs_wide(
                                         dimension=1)
         sc, slo, shi = sc.reshape(-1), slo.reshape(-1), shi.reshape(-1)
     else:
+        if plan is not None:
+            wp = plan.window_plan(bits_to_sort, True)
+        else:
+            if _concrete_or_none(seg_offsets) is None:
+                _warn_traced_offsets_once()
+            wp = _window_dispatch(seg_offsets, total, total_seg_count,
+                                  bits_to_sort=bits_to_sort,
+                                  has_payload=True)
         res = _dispatch_random_lengths(
-            seg_offsets, codes, (lo32, hi32), total, total_seg_count,
+            wp, seg_offsets, codes, (lo32, hi32), total, total_seg_count,
             bits_to_sort, has_payload=True)
         if res is not None:
             sc, (slo, shi) = res
@@ -672,10 +815,11 @@ def split_sort_keys(
     total_seg_count: int,
     bits_to_sort: int = 32,
     strategy: str = "auto",
+    plan: SegSortPlan | None = None,
 ):
     return split_sort_pairs(
         seg_offsets, keys, None, total_seg_count, None, bits_to_sort,
-        strategy=strategy
+        strategy=strategy, plan=plan
     )
 
 
@@ -755,7 +899,8 @@ class SplitSorter:
         self.total_seg_count = total_seg_count
 
     def sort_pairs(self, seg_offsets, keys, values, bits_to_sort: int = 32,
-                   strategy: str = "auto"):
+                   strategy: str = "auto",
+                   plan: SegSortPlan | None = None):
         return split_sort_pairs(
             seg_offsets,
             keys,
@@ -764,13 +909,15 @@ class SplitSorter:
             self.total_seg_length,
             bits_to_sort,
             strategy=strategy,
+            plan=plan,
         )
 
     def sort_keys(self, seg_offsets, keys, bits_to_sort: int = 32,
-                  strategy: str = "auto"):
+                  strategy: str = "auto",
+                  plan: SegSortPlan | None = None):
         return split_sort_keys(
             seg_offsets, keys, self.total_seg_count, bits_to_sort,
-            strategy=strategy
+            strategy=strategy, plan=plan
         )
 
     def close(self):

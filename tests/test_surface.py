@@ -85,7 +85,7 @@ def test_sort_batched_mapped_route_giant_rows():
     """Rows at/above the VMEM-residency crossover take the lax.map route."""
     from gpusorting_tpu.ops import xla_sort
 
-    S, L = 2, xla_sort.MAP_ROWS_MIN_PAIRS
+    S, L = 2, xla_sort.map_rows_min(True)
     keys = prng.make_test_keys(S * L, seed=31).reshape(S, L)
     vals = jnp.tile(jnp.arange(L, dtype=jnp.uint32), (S, 1))
     out_k, out_v = gst.sort_batched(keys, vals)
