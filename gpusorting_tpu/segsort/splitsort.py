@@ -329,6 +329,21 @@ def _window_dispatch(seg_offsets, total: int, seg_count: int,
                     "long_lens": lens[~small],
                     "k": tail_elems,
                 }
+
+    # generalized multi-class dispatch (VERDICT r4 item 2 — the executed
+    # 14-bin form): built when the whole-workload window ladder cannot run
+    # in this mode and the measured bimodal split didn't qualify; serves
+    # the pairs maxlen (16384, 131072] band (and giant-segment mixes) that
+    # used to fall to the ~0.5 G composite
+    if "split" not in plan:
+        whole_infeasible = ("ml" not in plan or _pick_window_mode(
+            plan["ml"], plan["sid_bits"], bits_to_sort, has_payload)
+            is None)
+        if whole_infeasible:
+            cp = _build_class_plan(starts, lens, total, bits_to_sort,
+                                   has_payload)
+            if cp is not None:
+                plan["classes"] = cp
     return plan or None
 
 
@@ -541,6 +556,190 @@ def _composite_segmented_sort(
     return sc, (ps[0] if ps else None)
 
 
+def _interval_mask(starts: np.ndarray, lens: np.ndarray, n: int):
+    """Per-element membership mask from host-known [start, start+len)
+    intervals: +-1 boundary scatter + cumsum (the segment_ids_from_offsets
+    pattern; intervals must not overlap)."""
+    bounds = np.concatenate([starts, starts + lens]).astype(np.int64)
+    delta = np.concatenate([np.ones_like(starts), -np.ones_like(starts)])
+    marks = jnp.zeros((n,), jnp.int32).at[jnp.asarray(bounds)].add(
+        jnp.asarray(delta.astype(np.int32)), mode="drop")
+    return jnp.cumsum(marks) > 0
+
+
+def _dense_tail_composite(seg_offsets_unused, codes, payloads: tuple,
+                          starts: np.ndarray, lens: np.ndarray, k: int,
+                          bits_to_sort: int):
+    """Extract the named segments densely, composite-sort them as their own
+    tiny workload, and return (mask, sorted_ops_expanded_back).
+
+    The compact/expand pair runs at 8/23 Gelem/s vs XLA's 0.11 G gather
+    (probes/PROBES.md), which is what makes extraction affordable.
+    Elements are taken from the ORIGINAL arrays (order within each segment
+    = input order), so stability is preserved end to end.
+    """
+    from ..ops import stitch
+
+    n = codes.shape[0]
+    mask = _interval_mask(starts, lens, n)
+    packed, _cnt = stitch.compact_ops((codes,) + payloads, mask)
+    t_codes = packed[0][:k]
+    t_pays = tuple(p[:k] for p in packed[1:])
+    t_offs = jnp.asarray(
+        np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32))
+    sc_t, ps_t = _composite_multi(t_offs, t_codes, t_pays, len(lens),
+                                  bits_to_sort)
+    exp = stitch.expand_ops((sc_t,) + ps_t, mask)
+    return mask, exp
+
+
+def _padded_rows_class_sort(codes, payloads: tuple, cls: dict, n: int):
+    """Sort one extracted length class as padded rows — the TPU analog of
+    the reference's per-bin specialized kernel launch
+    (SplitSort.cuh:751-930, DispatchGt8192 :522-573).
+
+    Segments with lengths in (B/2, B] are compacted out of the full array
+    (8 Gelem/s), expanded into a dense (S_c, B) row layout (23 Gelem/s)
+    where row i's prefix holds segment i and the suffix is key-sentinel
+    padded, then ONE stable batched (or, beyond map_rows_min, lax.map'd)
+    row sort finishes every segment: each row IS one segment, so pairs
+    need only the 2-operand (code, payload) sort instead of the window
+    ladder's two 3-operand passes — the mechanism that serves the pairs
+    maxlen (16384, 131072] band the composite used to eat (VERDICT r3
+    missing #2).  Pads are a row suffix, so a stable sort keeps real
+    0xFFFFFFFF keys ahead of them (the reference's dummy-key trick,
+    OneSweep.cu:195-205); keys-only rows may sort unstable because equal
+    u32 values are interchangeable.
+
+    Returns (mask, sorted_ops_expanded_back) like _dense_tail_composite.
+    """
+    from ..ops import stitch
+
+    starts, lens, k, B = cls["starts"], cls["lens"], cls["k"], cls["B"]
+    S_c = len(lens)
+    mask = _interval_mask(starts, lens, n)
+    packed, _cnt = stitch.compact_ops((codes,) + payloads, mask)
+    lens_dev = jnp.asarray(lens.astype(np.int32))
+    maskp = (jnp.arange(B, dtype=jnp.int32)[None, :]
+             < lens_dev[:, None]).reshape(-1)
+    exp = stitch.expand_ops(tuple(p[:k] for p in packed), maskp)
+    k2 = jnp.where(maskp, exp[0],
+                   jnp.uint32(0xFFFFFFFF)).reshape(S_c, B)
+    p2 = tuple(e.reshape(S_c, B) for e in exp[1:])
+    if payloads:
+        if B >= xla_sort.map_rows_min(True):
+            res = jax.lax.map(
+                lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
+                (k2,) + p2)
+        else:
+            res = jax.lax.sort((k2,) + p2, num_keys=1, is_stable=True,
+                               dimension=1)
+    else:
+        # keys-only on bare codes: unstable == stable (values identical)
+        if B >= xla_sort.map_rows_min(False):
+            res = (jax.lax.map(
+                lambda r: xla_sort.sort_all_keys_unstable((r,))[0], k2),)
+        else:
+            res = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
+    flat = tuple(x.reshape(-1) for x in res)
+    packed2, _cnt2 = stitch.compact_ops(flat, maskp)
+    back = stitch.expand_ops(tuple(p[:k] for p in packed2), mask)
+    return mask, back
+
+
+def _build_class_plan(starts: np.ndarray, lens: np.ndarray, total: int,
+                      bits_to_sort: int, has_payload: bool):
+    """Host-side multi-class plan for workloads whose max length exceeds
+    the window cap — the executed general form of the reference's 14-bin
+    dispatch (SplitSort.cuh:740-930):
+
+      bulk   — every segment <= T_bulk window-sorts IN PLACE (zero data
+               movement; small windows measured >= ~1 G for every mode)
+      padded — each occupied power-of-two class in (T_bulk, padded_max]
+               is extracted and sorted as padded rows
+               (_padded_rows_class_sort); occupancy is always > 50%
+      tail   — segments beyond padded_max extract to a dense composite
+
+    Returns None when there is nothing to split (no padded class or tail),
+    else {"bulk": {...}|None, "padded": [...], "tail": {...}|None}.
+    """
+    from ..core.config import get_routing_parameters
+
+    r = get_routing_parameters()
+    if total <= 0 or lens.size == 0:
+        return None
+    # power-of-two class bound per segment (min class 2: length-1 segments
+    # need no sorting but still belong to the bulk)
+    bnd = np.power(2, np.ceil(np.log2(np.maximum(lens, 2)))).astype(np.int64)
+    occupied = np.unique(bnd)
+    bulk_sel = bnd <= r.segsort_bulk_max
+    bulk = None
+    if bulk_sel.any():
+        ml_b = int(lens[bulk_sel].max())
+        bulk = {"ml": ml_b,
+                "sid_bits": _window_sid_bits(starts, max(2, ml_b))}
+    padded = []
+    for B in occupied:
+        if B <= r.segsort_bulk_max or B > r.segsort_padded_max:
+            continue
+        sel = bnd == B
+        padded.append({
+            "B": int(B),
+            "starts": starts[sel],
+            "lens": lens[sel],
+            "k": int(lens[sel].sum()),
+        })
+    tail = None
+    t_sel = bnd > r.segsort_padded_max
+    if t_sel.any():
+        tail = {"starts": starts[t_sel], "lens": lens[t_sel],
+                "k": int(lens[t_sel].sum())}
+    if not padded and (tail is None or bulk is None):
+        # nothing to split: either every class is bulk-feasible (the whole
+        # window ladder would have run) or EVERY segment is tail-class —
+        # then the plain composite is the same sort minus the copies
+        return None
+    return {"bulk": bulk, "padded": padded, "tail": tail}
+
+
+def _multi_class_segmented_sort(seg_offsets, codes, payloads: tuple,
+                                seg_count: int, cplan: dict,
+                                bits_to_sort: int, has_payload: bool):
+    """Execute a _build_class_plan: in-place bulk windows + per-class
+    padded-row sorts + dense composite tail.  Every segment belongs to
+    exactly one class (the bounds partition the length axis), and every
+    extracted class reads the ORIGINAL arrays, so each span is written by
+    exactly one stable mechanism."""
+    n = codes.shape[0]
+    bulk = cplan["bulk"]
+    if bulk is not None and bulk["ml"] > 1:
+        mode = _pick_window_mode(bulk["ml"], bulk["sid_bits"],
+                                 bits_to_sort, has_payload)
+        if mode is None:
+            # caps are perf knobs, not correctness gates: a routing
+            # override below segsort_bulk_max must not skip the bulk sort
+            mode = "stable3" if has_payload else "keys2"
+        out_c, out_p = _windowed_segmented_sort(
+            seg_offsets, codes, payloads, seg_count, bulk["ml"], mode=mode,
+            fuse_bits=bits_to_sort if mode == "fused" else 0)
+    else:
+        out_c, out_p = codes, payloads
+    for cls in cplan["padded"]:
+        mask, srt = _padded_rows_class_sort(codes, payloads, cls, n)
+        out_c = jnp.where(mask, srt[0], out_c)
+        out_p = tuple(jnp.where(mask, s, o)
+                      for s, o in zip(srt[1:], out_p))
+    if cplan["tail"] is not None:
+        t = cplan["tail"]
+        mask, srt = _dense_tail_composite(
+            seg_offsets, codes, payloads, t["starts"], t["lens"], t["k"],
+            bits_to_sort)
+        out_c = jnp.where(mask, srt[0], out_c)
+        out_p = tuple(jnp.where(mask, s, o)
+                      for s, o in zip(srt[1:], out_p))
+    return out_c, out_p
+
+
 def _split_class_segmented_sort(seg_offsets, codes, payloads: tuple,
                                 seg_count: int, split: dict,
                                 mode: str | None, fuse_bits: int,
@@ -558,19 +757,6 @@ def _split_class_segmented_sort(seg_offsets, codes, payloads: tuple,
     as its own tiny workload, and streamed back into its spans with
     `stitch.expand_ops` (both ~6-8 Gelem/s vs XLA's 0.11 G gather).
     """
-    n = codes.shape[0]
-    starts = split["long_starts"]
-    lens = split["long_lens"]
-    k = split["k"]
-
-    # per-element long-class mask from host-known [start, end) intervals:
-    # +-1 boundary scatter + cumsum (the segment_ids_from_offsets pattern)
-    bounds = np.concatenate([starts, starts + lens]).astype(np.int64)
-    delta = np.concatenate([np.ones_like(starts), -np.ones_like(starts)])
-    marks = jnp.zeros((n,), jnp.int32).at[jnp.asarray(bounds)].add(
-        jnp.asarray(delta.astype(np.int32)), mode="drop")
-    mask = jnp.cumsum(marks) > 0
-
     # bulk: window ladder at the small class's own window; long elements
     # participate (their within-span order becomes garbage) and are
     # overwritten below
@@ -582,16 +768,9 @@ def _split_class_segmented_sort(seg_offsets, codes, payloads: tuple,
         c_b, p_b = codes, payloads  # length<=1 bulk is already sorted
 
     # tail: dense extraction -> composite sort -> stream back
-    from ..ops import stitch
-
-    packed, _cnt = stitch.compact_ops((codes,) + payloads, mask)
-    t_codes = packed[0][:k]
-    t_pays = tuple(p[:k] for p in packed[1:])
-    t_offs = jnp.asarray(
-        np.concatenate([[0], np.cumsum(lens)])[:-1].astype(np.uint32))
-    sc_t, ps_t = _composite_multi(t_offs, t_codes, t_pays, len(lens),
-                                  bits_to_sort)
-    exp = stitch.expand_ops((sc_t,) + ps_t, mask)
+    mask, exp = _dense_tail_composite(
+        seg_offsets, codes, payloads, split["long_starts"],
+        split["long_lens"], split["k"], bits_to_sort)
     out_c = jnp.where(mask, exp[0], c_b)
     out_p = tuple(jnp.where(mask, e, pb) for e, pb in zip(exp[1:], p_b))
     return out_c, out_p
@@ -643,6 +822,10 @@ def _dispatch_random_lengths(plan, seg_offsets, codes, payloads: tuple,
             return _split_class_segmented_sort(
                 seg_offsets, codes, payloads, seg_count, split, bmode,
                 bits_to_sort if bmode == "fused" else 0, bits_to_sort)
+    if "classes" in plan:
+        return _multi_class_segmented_sort(
+            seg_offsets, codes, payloads, seg_count, plan["classes"],
+            bits_to_sort, has_payload)
     if "ml" in plan:
         mode = _pick_window_mode(plan["ml"], plan["sid_bits"],
                                  bits_to_sort, has_payload)

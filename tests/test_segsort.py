@@ -672,3 +672,138 @@ def test_plan_requires_concrete_offsets():
 
     with pytest.raises(ValueError, match="concrete"):
         jax.jit(lambda o: (build(o), o)[1])(offs)
+
+
+# ---------------------------------------------------------------------------
+# multi-class dispatch (VERDICT r4 item 2: the executed 14-bin form)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_length_offsets(lens):
+    lens = np.asarray(lens, dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    return jnp.asarray(offs.astype(np.uint32)), int(lens.sum())
+
+
+def test_multi_class_dispatch_small_caps(monkeypatch):
+    """bulk + two padded classes + composite tail, all exercised at CI
+    scale via a routing override that shrinks every cap; oracle-exact and
+    the padded-row path is proven to run."""
+    gst.set_routing_override(gst.RoutingParameters(
+        window_max_keys=256, window_max_fused=256, window_max_pairs=256,
+        segsort_bulk_max=128, segsort_padded_max=1024))
+    try:
+        rng = np.random.RandomState(7)
+        lens = ([int(x) for x in rng.randint(1, 100, size=40)]   # bulk
+                + [300, 450, 700, 1000]                           # padded
+                + [2000])                                         # tail
+        rng.shuffle(lens)
+        offs, total = _mixed_length_offsets(lens)
+        S = len(lens)
+        plan = splitsort._window_dispatch(offs, total, S,
+                                          bits_to_sort=32,
+                                          has_payload=True)
+        assert plan is not None and "classes" in plan
+        cp = plan["classes"]
+        assert cp["bulk"] is not None
+        assert {c["B"] for c in cp["padded"]} == {512, 1024}
+        assert cp["tail"] is not None and cp["tail"]["k"] == 2000
+
+        ran = []
+        real = splitsort._padded_rows_class_sort
+
+        def spy(*a, **k):
+            ran.append(a[2]["B"])
+            return real(*a, **k)
+
+        monkeypatch.setattr(splitsort, "_padded_rows_class_sort", spy)
+        keys = prng.make_test_keys(total, seed=21)
+        vals = jnp.arange(total, dtype=jnp.uint32)
+        sk, sv = gst.split_sort_pairs(offs, keys, vals, S, total)
+        assert sorted(ran) == [512, 1024]
+        ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
+        np.testing.assert_array_equal(np.asarray(sk), ref_k)
+        np.testing.assert_array_equal(np.asarray(sv), ref_v)
+    finally:
+        gst.clear_routing_override()
+
+
+def test_multi_class_real_caps_pairs_band():
+    """The real-caps trigger: pairs with maxlen in (16384, 131072] used to
+    fall to the composite; the class plan now routes it (VERDICT r3
+    missing #2).  One big segment keeps CI cost bounded."""
+    lens = [20000] + [int(x) for x in
+                      np.random.RandomState(3).randint(1, 64, size=190)]
+    offs, total = _mixed_length_offsets(lens)
+    S = len(lens)
+    plan = splitsort._window_dispatch(offs, total, S, bits_to_sort=32,
+                                      has_payload=True)
+    assert plan is not None and "classes" in plan
+    assert [c["B"] for c in plan["classes"]["padded"]] == [32768]
+    keys = prng.make_test_keys(total, seed=22)
+    vals = jnp.arange(total, dtype=jnp.uint32)
+    sk, sv = gst.split_sort_pairs(offs, keys, vals, S, total)
+    ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
+    np.testing.assert_array_equal(np.asarray(sk), ref_k)
+    np.testing.assert_array_equal(np.asarray(sv), ref_v)
+
+
+def test_multi_class_keys_and_wide(monkeypatch):
+    """Keys-only and dual-plane 64-bit payloads through the class plan."""
+    gst.set_routing_override(gst.RoutingParameters(
+        window_max_keys=128, window_max_fused=128, window_max_pairs=128,
+        segsort_bulk_max=64, segsort_padded_max=512))
+    try:
+        lens = [40, 17, 300, 512, 80, 1000, 33, 450]
+        offs, total = _mixed_length_offsets(lens)
+        S = len(lens)
+        keys = prng.make_test_keys(total, seed=23)
+        sk = gst.split_sort_keys(offs, keys, S)
+        ref_k, _ = numpy_segmented_oracle(offs, keys)
+        np.testing.assert_array_equal(np.asarray(sk), ref_k)
+
+        lo = jnp.arange(total, dtype=jnp.uint32)
+        hi = prng.hybrid_taus_bits(total, seed=24)
+        wk, wlo, whi = gst.split_sort_pairs_wide(offs, keys, lo, hi, S,
+                                                 total)
+        kk, ll, hh = (np.asarray(keys).copy(), np.asarray(lo).copy(),
+                      np.asarray(hi).copy())
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        for s in range(S):
+            sl = slice(int(bounds[s]), int(bounds[s + 1]))
+            perm = np.argsort(kk[sl], kind="stable")
+            kk[sl], ll[sl], hh[sl] = kk[sl][perm], ll[sl][perm], hh[sl][perm]
+        np.testing.assert_array_equal(np.asarray(wk), kk)
+        np.testing.assert_array_equal(np.asarray(wlo), ll)
+        np.testing.assert_array_equal(np.asarray(whi), hh)
+    finally:
+        gst.clear_routing_override()
+
+
+def test_multi_class_under_jit_with_plan(monkeypatch):
+    """The class plan rides SegSortPlan: jitted callers keep the route."""
+    import jax
+
+    gst.set_routing_override(gst.RoutingParameters(
+        window_max_keys=128, window_max_fused=128, window_max_pairs=128,
+        segsort_bulk_max=64, segsort_padded_max=512))
+    try:
+        lens = [40, 17, 300, 80, 33, 450, 12, 200]
+        offs, total = _mixed_length_offsets(lens)
+        S = len(lens)
+        plan = gst.make_segsort_plan(offs, total, S)
+
+        def boom(*a, **k):
+            raise AssertionError("whole-composite ran despite class plan")
+
+        monkeypatch.setattr(splitsort, "_composite_segmented_sort", boom)
+        keys = prng.make_test_keys(total, seed=25)
+        vals = jnp.arange(total, dtype=jnp.uint32)
+        fn = jax.jit(lambda o, k, v: splitsort.split_sort_pairs(
+            o, k, v, S, total, plan=plan))
+        sk, sv = fn(offs, keys, vals)
+        ref_k, ref_v = numpy_segmented_oracle(offs, keys, vals)
+        np.testing.assert_array_equal(np.asarray(sk), ref_k)
+        np.testing.assert_array_equal(np.asarray(sv), ref_v)
+    finally:
+        gst.clear_routing_override()
