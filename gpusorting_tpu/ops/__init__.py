@@ -57,6 +57,25 @@ def sort(
 
         return radix.sort(keys, order=order, variant=variant,
                           tile_rows=tile_rows)
+    if backend == Backend.AUTO:
+        # measured AUTO route: keys-only sorts at/above the generation's
+        # rangesweep crossover run the range-exchange engine (Pallas DMA
+        # exchange over mapped chunk sorts); explicit backend=XLA stays
+        # the pure oracle
+        from ..core.config import get_device_info, get_routing_parameters
+
+        rmin = get_routing_parameters().rangesweep_min
+        if (rmin is not None and keys.shape[0] >= rmin
+                and get_device_info().platform == "tpu"):
+            from ..core import codec
+            from . import rangesweep
+
+            out = codec.decode_keys(
+                rangesweep.sort_codes_rangesweep(codec.encode_keys(keys)),
+                codec.key_type_of(keys))
+            if order == Order.DESCENDING:
+                out = jnp.flip(out, axis=0)
+            return out
     return xla_sort.sort_keys(keys, order=order)
 
 

@@ -50,6 +50,13 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _grid_sem():
+    # block-disjoint programs: core-splittable on Megacore parts
+    from ..core.config import grid_semantics, megacore_parallel
+
+    return grid_semantics(megacore_parallel())
+
+
 def _tuning():
     from ..core.config import get_tuning_parameters
 
@@ -165,7 +172,8 @@ def _build_local_pass(num_ops, num_keys, tile_rows, num_stages, grid,
                 jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
                 for _ in range(num_ops)),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                dimension_semantics=_grid_sem()),
             interpret=interpret,
         )(sched, *args)
     return call
@@ -192,7 +200,8 @@ def _build_global_stage(num_ops, num_keys, tile_rows, grid, jblocks, interpret):
                 jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
                 for _ in range(num_ops)),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                dimension_semantics=_grid_sem()),
             interpret=interpret,
         )(jk, *ops, *ops)
     return call

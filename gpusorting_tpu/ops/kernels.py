@@ -38,6 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
+def _arbitrary():
+    from ..core.config import grid_semantics
+
+    return grid_semantics(False)
+
+
 def _tuning():
     from ..core.config import get_tuning_parameters
 
@@ -96,7 +102,10 @@ def _build_hist(rows: int, tile_rows: int, passes: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((passes, 16, 16), jnp.int32),
             scratch_shapes=[pltpu.VMEM((passes, 16, 16), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                # carried VMEM/SMEM state or a whole-array revisited
+                # output block: sequential per core, machine-declared
+                dimension_semantics=_arbitrary()),
             interpret=interpret,
         )(x)
 
@@ -166,7 +175,10 @@ def _build_tile_hist4(rows: int, tile_rows: int, interpret: bool):
             out_specs=pl.BlockSpec((num_tiles, 16), lambda i: (0, 0)),
             out_shape=jax.ShapeDtypeStruct((num_tiles, 16), jnp.int32),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                # carried VMEM/SMEM state or a whole-array revisited
+                # output block: sequential per core, machine-declared
+                dimension_semantics=_arbitrary()),
             interpret=interpret,
         )(ctrl, x)
 
@@ -235,7 +247,10 @@ def _build_scan(rows: int, tile_rows: int, interpret: bool):
             out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
             scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                # carried VMEM/SMEM state or a whole-array revisited
+                # output block: sequential per core, machine-declared
+                dimension_semantics=_arbitrary()),
             interpret=interpret,
         )(x)
 

@@ -71,6 +71,13 @@ def _default_seg_elems() -> int:
     return get_routing_parameters().mergesweep_seg_elems
 
 
+def _grid_sem():
+    # block-disjoint programs: core-splittable on Megacore parts
+    from ..core.config import grid_semantics, megacore_parallel
+
+    return grid_semantics(megacore_parallel())
+
+
 def _tile_rows_for(num_ops: int, R: int) -> int:
     budget = _tuning().vmem_limit_bytes
     rows = max(8, budget // (num_ops * LANES * 4 * 3))  # in + out + slack
@@ -155,7 +162,8 @@ def _build_merge_tail(num_ops, num_keys, tile_rows, num_row_stages,
                 jax.ShapeDtypeStruct((grid * tile_rows, LANES), jnp.int32)
                 for _ in range(num_ops)),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                dimension_semantics=_grid_sem()),
             interpret=interpret,
         )(ctrl, *args)
     return call
@@ -230,7 +238,8 @@ def _build_hyper_stage(num_ops, num_keys, W, lo_tile, num_stages, H, mid,
                 jax.ShapeDtypeStruct((H, W, mid, lo_tile, LANES), jnp.int32)
                 for _ in range(num_ops)),
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                dimension_semantics=_grid_sem()),
             interpret=interpret,
         )(ctrl, *args)
     return call

@@ -563,7 +563,12 @@ def _build_pass(rows: int, tile_rows: int, num_ops: int,
             + [pltpu.SemaphoreType.DMA(())],
             input_output_aliases=aliases,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=110 << 20, has_side_effects=True),
+                vmem_limit_bytes=110 << 20, has_side_effects=True,
+                # grid-carried cursors + carry rows: the fused engine's
+                # defining state; REQUIRES the sequential per-core grid
+                # (machine-declared; the core-split-safe engine is rts's
+                # parallel downsweep, ops/rts.py)
+                dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(sched, ctrl, *arrs)
 

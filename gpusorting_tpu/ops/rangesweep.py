@@ -48,6 +48,13 @@ _CHUNK_ROWS = 2048
 _FRINGE_SLOTS = 256
 
 
+def _grid_sem():
+    # block-disjoint programs: core-splittable on Megacore parts
+    from ..core.config import grid_semantics, megacore_parallel
+
+    return grid_semantics(megacore_parallel())
+
+
 def _default_seg_elems() -> int:
     """Chunk length: the VMEM-residency edge of XLA's flat sort (shared
     with mergesweep's phase 1 — same mechanism, same tuner row)."""
@@ -161,7 +168,9 @@ def _build_relocate(rows: int, P: int, interpret: bool):
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 << 20),
+                vmem_limit_bytes=64 << 20, has_side_effects=True,
+                # disjoint src/dst rows per program: core-splittable
+                dimension_semantics=_grid_sem()),
             interpret=interpret,
         )(ctrl, src)
 

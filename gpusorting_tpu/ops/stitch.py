@@ -46,6 +46,12 @@ _BLK = 128  # input rows per placement block
 _BAND = 144
 
 
+def _arbitrary():
+    from ..core.config import grid_semantics
+
+    return grid_semantics(False)
+
+
 def _tuning():
     from ..core.config import get_tuning_parameters
 
@@ -247,7 +253,9 @@ def _build_compact(rows: int, tile_rows: int, interpret: bool,
             + [pltpu.SemaphoreType.DMA(())],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_tuning().vmem_limit_bytes,
-                has_side_effects=True),
+                has_side_effects=True,
+                # grid-carried write cursor: sequential per core
+                dimension_semantics=_arbitrary()),
             interpret=interpret,
         )(*arrs)
 
@@ -413,7 +421,9 @@ def _build_expand(rows: int, src_rows: int, tile_rows: int, interpret: bool,
             + [pltpu.VMEM((bsrc, LANES), jnp.int32) for _ in range(num_ops)]
             + [pltpu.SemaphoreType.DMA(())],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=_tuning().vmem_limit_bytes),
+                vmem_limit_bytes=_tuning().vmem_limit_bytes,
+                # grid-carried read cursor: sequential per core
+                dimension_semantics=_arbitrary()),
             interpret=interpret,
         )(m, *srcs)
 

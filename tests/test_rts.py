@@ -102,3 +102,42 @@ def test_pair_variant_dispatch_routes_native(monkeypatch):
         rk, rv = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
         np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
         np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
+
+
+def test_megacore_parallel_downsweep_bit_exact():
+    """The core-split-safe downsweep (edge side buffer + sequential fixup)
+    is bit-exact with the sequential RMW form — keys AND pairs, across
+    chunked calls (SURVEY §7 megacore hard part; VERDICT r4 item 6)."""
+    import numpy as np
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.ops import rts
+
+    n = 70_000  # > 1 tile at tile_rows=128; exercises partial boundaries
+    codes = prng.hybrid_taus_bits(n, seed=31) & jnp.uint32(0xFFFF)
+    pay = jnp.arange(n, dtype=jnp.uint32)
+    seq_k, seq_v = rts._sort_rts((codes, pay), tile_rows=128,
+                                 parallel=False)
+    par_k, par_v = rts._sort_rts((codes, pay), tile_rows=128,
+                                 parallel=True)
+    np.testing.assert_array_equal(np.asarray(seq_k), np.asarray(par_k))
+    np.testing.assert_array_equal(np.asarray(seq_v), np.asarray(par_v))
+    ref_k, ref_v = jax.lax.sort((codes, pay), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(par_k), np.asarray(ref_k))
+    np.testing.assert_array_equal(np.asarray(par_v), np.asarray(ref_v))
+
+
+def test_megacore_gate(monkeypatch):
+    """GST_MEGACORE forces the gate; default follows the core count."""
+    from gpusorting_tpu.core import config as cfg
+
+    monkeypatch.setenv("GST_MEGACORE", "1")
+    assert cfg.megacore_parallel()
+    monkeypatch.setenv("GST_MEGACORE", "0")
+    assert not cfg.megacore_parallel()
+    monkeypatch.delenv("GST_MEGACORE")
+    info_v5p = cfg.DeviceInfo("tpu", "TPU v5p", "v5p", 1, 1 << 30,
+                              1 << 24, 2765.0)
+    assert cfg.tensorcores_per_chip(info_v5p) == 2
+    assert cfg.megacore_parallel(info_v5p)
+    assert cfg.grid_semantics(True) == ("parallel",)
+    assert cfg.grid_semantics(False) == ("arbitrary",)

@@ -177,3 +177,30 @@ def test_ffx_pipeline_exact():
     rk, rv = jax.lax.sort((k, v), num_keys=1, is_stable=True)
     np.testing.assert_array_equal(np.asarray(sk), np.asarray(rk))
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
+
+
+def test_entropy_tile_hint_detector():
+    """Skewed digit distributions get the measured small-tile override;
+    uniform keeps the tuner default; jit tracers skip the peek."""
+    import jax
+    from gpusorting_tpu.core import config as cfg, prng
+    from gpusorting_tpu.ops import radix
+
+    n = cfg.get_routing_parameters().entropy_peek_min
+    uniform = prng.hybrid_taus_bits(n, seed=1)
+    skewed = prng.hybrid_taus_bits(n, seed=2, and_count=4)  # E020
+    assert radix._entropy_tile_hint(uniform) is None
+    assert radix._entropy_tile_hint(skewed) == \
+        cfg.get_routing_parameters().entropy_tile_rows
+    # below the peek threshold: no fetch, no override
+    assert radix._entropy_tile_hint(skewed[: n // 2]) is None
+    # explicit tile always wins; non-tiled variants never peek
+    assert radix._auto_tile(skewed, "device_radix", 1024) == 1024
+    assert radix._auto_tile(skewed, "onesweep", None) is None
+
+    # traced input: the peek degrades to the static default, silently
+    def f(x):
+        return radix._auto_tile(x, "device_radix", None)
+
+    assert jax.jit(f, static_argnums=())(skewed) is None \
+        or jax.eval_shape(f, skewed) is None
