@@ -265,6 +265,28 @@ def _cap_ladder(n: int, n_dev: int,
     return tuple(caps)
 
 
+_WARNED_REMOTE_DMA = [False]
+
+
+def _warn_remote_dma_real_ici_once():
+    """Guard for docs/ISSUES.md#remote-dma-vma: the remote-DMA exchange
+    runs with shard_map's vma checker disabled and has only ever executed
+    on CPU interpret meshes (this rig has one chip).  Real-ICI use is
+    untested territory — warn once so the bypass is never silent there."""
+    if _WARNED_REMOTE_DMA[0]:
+        return
+    if jax.devices()[0].platform == "tpu" and len(jax.devices()) > 1:
+        _WARNED_REMOTE_DMA[0] = True
+        import warnings
+
+        warnings.warn(
+            "exchange='remote_dma' on a real multi-chip TPU mesh: this "
+            "transport is validated only on CPU interpret meshes and "
+            "runs with shard_map's vma checker disabled — see "
+            "docs/ISSUES.md#remote-dma-vma before trusting results.",
+            RuntimeWarning, stacklevel=3)
+
+
 def distributed_sort(
     keys: jnp.ndarray,
     values: jnp.ndarray | None = None,
@@ -308,6 +330,8 @@ def distributed_sort(
     """
     if exchange not in ("collective", "remote_dma"):
         raise ValueError(f"unknown exchange {exchange!r}")
+    if exchange == "remote_dma":
+        _warn_remote_dma_real_ici_once()
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n = keys.shape[0]
@@ -376,7 +400,9 @@ def distributed_sort(
         out_specs=tuple([spec] * n_sorted) + (spec, spec),
         # the interpret-mode Pallas exchange trips shard_map's vma checker
         # (internal add of varying+invariant); the checker adds nothing
-        # here — specs are explicit on every in/out
+        # here — specs are explicit on every in/out.  TRACKED:
+        # docs/ISSUES.md#remote-dma-vma (real-ICI use warns once;
+        # _warn_remote_dma_real_ici_once)
         check_vma=(exchange != "remote_dma"),
     )(*args)
 

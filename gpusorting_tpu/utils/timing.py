@@ -94,7 +94,13 @@ def batch_timing(
         # clears both an absolute floor (a fraction of the rig's RPC
         # jitter) and a relative one (2% of the gen-only chain, the scale
         # dispatch-noise grows with); a merely-positive few-ms difference
-        # is still noise, not sort time
+        # is still noise, not sort time.  NOTE (advisor r3): the 5 ms
+        # absolute floor is per CHAIN, not per sort — a large batch of
+        # genuinely tiny sorts whose whole chain stays under ~5 ms will
+        # saturate this flag permanently; the consumer discipline
+        # (run_suite, autotune._timed) is to retry flagged rows at 4x
+        # batch, which grows the chain past the floor when the work is
+        # real and leaves the flag standing when it is not
         floored = floored or (t_with - t_gen) <= max(5e-3, 0.02 * t_gen)
         per_sorts.append(max(t_with - t_gen, 1e-9) / batch)
     wall = time.perf_counter() - wall0
