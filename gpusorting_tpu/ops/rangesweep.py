@@ -19,9 +19,13 @@ headline benchmark.
      chunk.  Whole 128-lane rows ride a sequential-grid HBM->HBM DMA
      relocate kernel — no per-element distribution work, so probe13's
      ~6 ms/2^24 bucketize floor does NOT apply.  The <=127-element row
-     fringes at range edges (<= 254*K*K elements total, ~65K at K=16) ride
-     ONE XLA gather + scatter into each bucket's tail slack.
-  4. buckets are dense and exactly L elements: `lax.map` flat sorts again.
+     fringes at range edges (<= 254*K*K elements total, ~65K at K=16) are
+     gathered into two sentinel-padded rows per (chunk, bucket) and placed
+     at STATIC positions in the bucket's 2K-row slack by the same kernel;
+     the kernel sentinel-fills the bulk/fringe seam — every output row is
+     written exactly once, no XLA scatter pass anywhere.
+  4. buckets are exactly L real elements in an (L + 2K*128)-element padded
+     region: `lax.map` flat sorts again, keep each row's first L.
 
 Placement order inside a bucket is irrelevant — step 4 re-sorts the bucket;
 steps 2-3 only need to deliver the exact multiset, which they do.
@@ -100,90 +104,148 @@ def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
     return jnp.concatenate([zeros, cuts, full], axis=1)  # (K, K+1)
 
 
-def _relocate_kernel(ctrl_ref, src_ref, out_ref, scratch, sem, *,
-                     P: int, interpret: bool):
-    """Sequential-grid HBM->HBM row relocate: program p copies
-    ctrl[2P+p] rows from src row ctrl[p] to dst row ctrl[P+p], bounced
-    through a VMEM scratch in _CHUNK_ROWS blocks (dynamic row start+size
-    DMA — the envelope probes/PROBES.md records as safe)."""
+def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, scratch, sem, *,
+                     P: int, K: int, l_rows: int, region_rows: int,
+                     interpret: bool):
+    """Sequential-grid HBM->HBM row relocate + fringe placement + gap fill.
+
+    Program p = b*K + i handles the (chunk i -> bucket b) range:
+      1. bulk:   ctrl[2P+p] whole rows from src row ctrl[p] to out row
+         ctrl[P+p], bounced through a VMEM scratch in _CHUNK_ROWS blocks
+         (dynamic row start+size DMA — the envelope probes/PROBES.md
+         records as safe)
+      2. fringe: 2 STATIC rows fringe[2p:2p+2] -> out rows
+         [b*region_rows + l_rows + 2i, +2) — the <=254 sub-row elements
+         at the range's edges, sentinel-padded by the host
+      3. gap:    the last program of each bucket (i == K-1) fills the
+         unwritten rows between the bucket's packed bulk (ctrl[3P+b]
+         rows) and l_rows with the sentinel
+
+    Every output row is written exactly once by exactly one program — no
+    XLA scatter pass, no prefill, and the grid stays core-splittable.
+    """
     p = pl.program_id(0)
+    b = p // K
+    i = p - b * K
     s0 = ctrl_ref[p]
     d0 = ctrl_ref[P + p]
     nr = ctrl_ref[2 * P + p]
+    base = b * region_rows
 
-    if interpret:
-        # the interpreter cannot express dynamic-SIZE slices: row by row
-        def row_copy(i, _):
-            cp = pltpu.make_async_copy(
-                src_ref.at[pl.ds(s0 + i, 1), :], scratch.at[pl.ds(0, 1), :],
-                sem)
-            cp.start()
-            cp.wait()
-            cp2 = pltpu.make_async_copy(
-                scratch.at[pl.ds(0, 1), :], out_ref.at[pl.ds(d0 + i, 1), :],
-                sem)
-            cp2.start()
-            cp2.wait()
-            return 0
-
-        jax.lax.fori_loop(0, nr, row_copy, 0)
-        return
-
-    nblocks = (nr + _CHUNK_ROWS - 1) // _CHUNK_ROWS
-
-    def body(t, _):
-        off = t * _CHUNK_ROWS
-        sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), nr - off)
+    def copy_rows(src, s_off, d_off, sz):
         cp = pltpu.make_async_copy(
-            src_ref.at[pl.ds(s0 + off, sz), :], scratch.at[pl.ds(0, sz), :],
-            sem)
+            src.at[pl.ds(s_off, sz), :], scratch.at[pl.ds(0, sz), :], sem)
         cp.start()
         cp.wait()
         cp2 = pltpu.make_async_copy(
-            scratch.at[pl.ds(0, sz), :], out_ref.at[pl.ds(d0 + off, sz), :],
+            scratch.at[pl.ds(0, sz), :], out_ref.at[pl.ds(d_off, sz), :],
             sem)
         cp2.start()
         cp2.wait()
-        return 0
 
-    jax.lax.fori_loop(0, nblocks, body, 0)
+    if interpret:
+        # the interpreter cannot express dynamic-SIZE slices: row by row
+        def row_copy(t, _):
+            copy_rows(src_ref, s0 + t, d0 + t, 1)
+            return 0
+
+        jax.lax.fori_loop(0, nr, row_copy, 0)
+
+        def fr_copy(t, _):
+            copy_rows(fringe_ref, 2 * p + t, base + l_rows + 2 * i + t, 1)
+            return 0
+
+        jax.lax.fori_loop(0, 2, fr_copy, 0)
+    else:
+        nblocks = (nr + _CHUNK_ROWS - 1) // _CHUNK_ROWS
+
+        def body(t, _):
+            off = t * _CHUNK_ROWS
+            sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), nr - off)
+            copy_rows(src_ref, s0 + off, d0 + off, sz)
+            return 0
+
+        jax.lax.fori_loop(0, nblocks, body, 0)
+        copy_rows(fringe_ref, 2 * p, base + l_rows + 2 * i, 2)
+
+    @pl.when(i == K - 1)
+    def _gap_fill():
+        bulk_b = ctrl_ref[3 * P + b]
+        gn = l_rows - bulk_b  # <= ~2K+1 rows (<=254 fringe elems/chunk)
+        scratch[...] = jnp.full((_CHUNK_ROWS, LANES), -1, jnp.int32)
+
+        if interpret:
+            def g_row(t, _):
+                cp = pltpu.make_async_copy(
+                    scratch.at[pl.ds(0, 1), :],
+                    out_ref.at[pl.ds(base + bulk_b + t, 1), :], sem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, gn, g_row, 0)
+        else:
+            def g_body(t, _):
+                off = t * _CHUNK_ROWS
+                sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), gn - off)
+                cp = pltpu.make_async_copy(
+                    scratch.at[pl.ds(0, sz), :],
+                    out_ref.at[pl.ds(base + bulk_b + off, sz), :], sem)
+                cp.start()
+                cp.wait()
+                return 0
+
+            jax.lax.fori_loop(0, (gn + _CHUNK_ROWS - 1) // _CHUNK_ROWS,
+                              g_body, 0)
 
 
 @functools.lru_cache(maxsize=16)
-def _build_relocate(rows: int, P: int, interpret: bool):
-    kern = functools.partial(_relocate_kernel, P=P, interpret=interpret)
+def _build_relocate(rows_out: int, P: int, K: int, l_rows: int,
+                    region_rows: int, interpret: bool):
+    kern = functools.partial(_relocate_kernel, P=P, K=K, l_rows=l_rows,
+                             region_rows=region_rows, interpret=interpret)
 
-    def call(ctrl, src):
+    def call(ctrl, src, fringe):
         return pl.pallas_call(
             kern,
             grid=(P,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-            out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct((rows_out, LANES), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((_CHUNK_ROWS, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 << 20, has_side_effects=True,
-                # disjoint src/dst rows per program: core-splittable
+                # disjoint dst rows per program: core-splittable
                 dimension_semantics=_grid_sem()),
             interpret=interpret,
-        )(ctrl, src)
+        )(ctrl, src, fringe)
 
     return call
 
 
 def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
                     interpret: bool) -> jnp.ndarray:
-    """Move each (chunk i, bucket b) contiguous range into bucket b's dense
-    region: whole rows via the DMA relocate, fringes via gather+scatter."""
+    """Move each (chunk i, bucket b) contiguous range into bucket b's
+    PADDED region (l_rows bulk+gap rows, then 2K static fringe rows):
+    whole rows via the DMA relocate, <=254-element range-edge fringes as
+    two sentinel-padded rows per (b, i) placed at static positions by the
+    same kernel — no per-element scatter anywhere.
+
+    Returns (K, Lp) u32 with Lp = L + 2*K*LANES: each row holds bucket
+    b's exact L-element multiset plus sentinels; the caller sorts each
+    padded row and keeps the first L.
+    """
     N = K * L
     rows_total = N // LANES
     l_rows = L // LANES
+    region_rows = l_rows + 2 * K
     i_base = (jnp.arange(K, dtype=jnp.int32) * L)[:, None]    # (K,1)
     g_start = bounds[:, :-1] + i_base                          # (K,K) elems
     g_end = bounds[:, 1:] + i_base
@@ -195,41 +257,33 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
     # output-major (b, i) ordering
     nr_bi = nrows.T                                            # (b,i)
     bulk_rows_b = jnp.sum(nr_bi, axis=1)                       # (b,)
-    dst_bi = (jnp.arange(K, dtype=jnp.int32) * l_rows)[:, None] + (
+    dst_bi = (jnp.arange(K, dtype=jnp.int32) * region_rows)[:, None] + (
         jnp.cumsum(nr_bi, axis=1) - nr_bi)
     ctrl = jnp.concatenate(
-        [a0.T.reshape(-1), dst_bi.reshape(-1), nr_bi.reshape(-1)])
-    out2 = _build_relocate(rows_total, K * K, interpret)(
-        ctrl, x.reshape(rows_total, LANES).view(jnp.int32))
+        [a0.T.reshape(-1), dst_bi.reshape(-1), nr_bi.reshape(-1),
+         bulk_rows_b])
 
     # fringes: the <=127-element ends of each range that the row relocate
-    # skipped; exact counts fill each bucket's region tail
+    # skips, gathered into two dense sentinel-padded rows per (b, i)
     lo_end = jnp.minimum(a0 * LANES, g_end)
     front = lo_end - g_start                                   # (i,b)
     hi_start = jnp.maximum(a1 * LANES, lo_end)
     back = g_end - hi_start
-    fr_bi = (front + back).T                                   # (b,i)
-    foff_bi = jnp.cumsum(fr_bi, axis=1) - fr_bi                # excl, per b
-
     j = jax.lax.broadcasted_iota(jnp.int32, (K, K, _FRINGE_SLOTS), 2)
     src = jnp.where(
         j < front[:, :, None], g_start[:, :, None] + j,
         hi_start[:, :, None] + (j - front[:, :, None]))
     valid = j < (front + back)[:, :, None]
-    vals = x[jnp.clip(src, 0, N - 1).reshape(-1)]
-    # dst: bucket b region tail = [b*L + 128*bulk_rows_b, (b+1)*L)
-    tail_base = (jnp.arange(K, dtype=jnp.int32) * L
-                 + LANES * bulk_rows_b)                        # (b,)
-    dst_bij = tail_base[:, None, None] + foff_bi[:, :, None] + jax.lax.\
-        broadcasted_iota(jnp.int32, (K, K, _FRINGE_SLOTS), 2)
-    # transpose valid/dst from (i,b,slot) indexing: src/valid are (i,b,.),
-    # dst is (b,i,.) — align both to (b,i,slot)
-    valid_bi = jnp.transpose(valid, (1, 0, 2))
-    vals_bi = jnp.transpose(vals.reshape(K, K, _FRINGE_SLOTS), (1, 0, 2))
-    dst = jnp.where(valid_bi, dst_bij, N).reshape(-1)
-    out = out2.reshape(-1).view(jnp.uint32).at[dst].set(
-        vals_bi.reshape(-1), mode="drop")
-    return out
+    vals = jnp.where(valid.reshape(-1),
+                     x[jnp.clip(src, 0, N - 1).reshape(-1)], _SENTINEL)
+    fringe = jnp.transpose(vals.reshape(K, K, _FRINGE_SLOTS),
+                           (1, 0, 2)).reshape(-1, LANES)       # (2*K*K,128)
+
+    out2 = _build_relocate(K * region_rows, K * K, K, l_rows, region_rows,
+                           interpret)(
+        ctrl, x.reshape(rows_total, LANES).view(jnp.int32),
+        fringe.view(jnp.int32))
+    return out2.view(jnp.uint32).reshape(K, region_rows * LANES)
 
 
 def sort_codes_rangesweep(codes: jnp.ndarray,
@@ -258,10 +312,12 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
     # phase 1: mapped VMEM-resident chunk sorts
     x2 = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
                      x.reshape(K, L))
-    # phase 2: exact cuts + range exchange
+    # phase 2: exact cuts + range exchange (padded buckets, (K, Lp))
     bounds = _exact_cuts(x2, K, L)
     out = _range_exchange(x2.reshape(-1), bounds, K, L, interpret)
-    # phase 3: mapped bucket sorts
-    res = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
-                      out.reshape(K, L))
+    # phase 3: mapped padded-bucket sorts; sentinels sort to each row's
+    # tail, the first L elements are the bucket (slice inside the map body
+    # so the padded (K, Lp) intermediate is never materialized)
+    res = jax.lax.map(
+        lambda r: xla_sort.sort_all_keys_unstable((r,))[0][:L], out)
     return res.reshape(-1)[:n]

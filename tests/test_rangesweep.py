@@ -1,0 +1,80 @@
+"""Rangesweep engine tests (CPU interpret mode).
+
+The relocate kernel (bulk rows + static fringe rows + sentinel gap fill)
+runs under the Pallas interpreter; phases 1/3 are lax.map + lax.sort.
+Oracle identity against numpy, plus exact-cut balance properties.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpusorting_tpu.core import prng
+from gpusorting_tpu.ops import rangesweep
+
+
+@pytest.mark.parametrize("n,L", [
+    (1000, 2048),        # single chunk: passthrough flat sort
+    (2048, 256),         # K=8, exact multiple
+    (5000, 512),         # K=10, padded tail chunk
+    (33_000, 1024),      # K=33 (>32 programs), padded
+])
+def test_keys_oracle(n, L):
+    x = prng.hybrid_taus_bits(n, seed=n % 97)
+    out = np.asarray(rangesweep.sort_codes_rangesweep(x, seg_elems=L))
+    np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
+
+
+def test_adversarial_inputs():
+    # skew kills sampled-splitter schemes; exact cuts must not care.
+    n, L = 6000, 512
+    for arr in (jnp.full((n,), 7, jnp.uint32),
+                jnp.arange(n, dtype=jnp.uint32),
+                jnp.arange(n, dtype=jnp.uint32)[::-1],
+                # real 0xFFFFFFFF keys collide with the pad sentinel:
+                # equal values are interchangeable, multiset must survive
+                jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+                jnp.where(jnp.arange(n) % 3 == 0,
+                          jnp.uint32(0xFFFFFFFF),
+                          jnp.arange(n, dtype=jnp.uint32)),
+                prng.hybrid_taus_bits(n, seed=5, and_count=4)):
+        out = np.asarray(rangesweep.sort_codes_rangesweep(arr, seg_elems=L))
+        np.testing.assert_array_equal(out, np.sort(np.asarray(arr)))
+
+
+def test_jit_safe():
+    n, L = 4096, 512
+    x = prng.hybrid_taus_bits(n, seed=11)
+    out = np.asarray(jax.jit(
+        lambda a: rangesweep.sort_codes_rangesweep(a, seg_elems=L))(x))
+    np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
+
+
+def test_exact_cuts_balance():
+    # every bucket must be exactly L elements for ANY distribution
+    K, L = 8, 512
+    for seed, and_count in ((1, 1), (2, 4), (3, 6)):
+        x = prng.hybrid_taus_bits(K * L, seed=seed, and_count=and_count)
+        x2 = jnp.sort(x.reshape(K, L), axis=1)
+        bounds = np.asarray(rangesweep._exact_cuts(x2, K, L))
+        sizes = (bounds[:, 1:] - bounds[:, :-1]).sum(axis=0)
+        np.testing.assert_array_equal(sizes, np.full(K, L))
+        # cuts are monotone per chunk and within [0, L]
+        assert (bounds[:, 0] == 0).all() and (bounds[:, -1] == L).all()
+        assert (np.diff(bounds, axis=1) >= 0).all()
+
+
+def test_bucket_value_ordering():
+    # bucket b's max <= bucket b+1's min (ranges really partition values)
+    K, L = 4, 512
+    x = prng.hybrid_taus_bits(K * L, seed=9)
+    out = np.asarray(
+        rangesweep.sort_codes_rangesweep(x, seg_elems=L)).reshape(K, L)
+    assert (out[:-1, -1] <= out[1:, 0]).all()
+
+
+def test_bad_seg_elems():
+    x = prng.hybrid_taus_bits(1000, seed=1)
+    with pytest.raises(ValueError):
+        rangesweep.sort_codes_rangesweep(x, seg_elems=300)
