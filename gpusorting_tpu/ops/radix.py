@@ -109,7 +109,13 @@ def is_native() -> bool:
       Mosaic escape hatch (i8 bitcast planes: interleaved layout kills
       free extraction; i16/i32 matmuls, sub-row DMA: still crash) — a
       B=16 partition cannot go below ~6 ms/2^24-equiv, so one/two-level
-      splitter or MSD compositions land 470-620 ms at 2^28.
+      splitter or MSD compositions land 470-620 ms at 2^28
+      (term-by-term accounting: docs/COST_SHEETS.md Sheet 2, every term
+      a committed measurement).  The round-4 range-exchange composition
+      (ops/rangesweep.py) sidesteps the distribution pass via contiguous
+      range DMA and is the measured closest approach — COST_SHEETS.md
+      Sheet 3; AUTO routes to it iff its hardware number crosses 468 ms
+      (RoutingParameters.rangesweep_min).
     - XLA scatter/gather run at 0.11/0.14 Gelem/s (unusable), closing
       every counting-sort scheme.
 

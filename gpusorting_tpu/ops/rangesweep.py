@@ -20,12 +20,15 @@ headline benchmark.
      relocate kernel — no per-element distribution work, so probe13's
      ~6 ms/2^24 bucketize floor does NOT apply.  The <=127-element row
      fringes at range edges (<= 254*K*K elements total, ~65K at K=16) are
-     gathered into two sentinel-padded rows per (chunk, bucket) and placed
-     at STATIC positions in the bucket's 2K-row slack by the same kernel;
-     the kernel sentinel-fills the bulk/fringe seam — every output row is
-     written exactly once, no XLA scatter pass anywhere.
-  4. buckets are exactly L real elements in an (L + 2K*128)-element padded
-     region: `lax.map` flat sorts again, keep each row's first L.
+     gathered DENSELY into one slab per bucket by a single small XLA
+     gather; because bulk_rows*128 + fringe_count == L exactly, the
+     bucket's fringe slab is an exact row-aligned fill of the space after
+     its packed bulk — one DMA per bucket, every output row written
+     exactly once, no scatter and NO padding (round-4b lesson: padding a
+     bucket to L + 2K*128 de-power-of-two's phase 3 and XLA's bitonic
+     sort pads it back up to 2L — measured +160 ms at 2^28,
+     benches/logs/hw_rangesweep3_r4.log).
+  4. buckets are dense and exactly L elements: `lax.map` flat sorts again.
 
 Placement order inside a bucket is irrelevant — step 4 re-sorts the bucket;
 steps 2-3 only need to deliver the exact multiset, which they do.
@@ -48,8 +51,6 @@ from .radix16 import LANES, _is_tpu
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
 # relocate bounce-buffer height (rows): 2048 rows x 128 lanes x 4 B = 1 MB
 _CHUNK_ROWS = 2048
-# fringe slots per (chunk, bucket) range: two partial rows + slack
-_FRINGE_SLOTS = 256
 
 
 def _grid_sem():
@@ -105,24 +106,22 @@ def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
 
 
 def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, scratch, sem, *,
-                     P: int, K: int, l_rows: int, region_rows: int,
+                     P: int, K: int, l_rows: int, slab_rows: int,
                      interpret: bool):
-    """Sequential-grid HBM->HBM row relocate + fringe placement + gap fill.
+    """Sequential-grid HBM->HBM row relocate + dense fringe fill.
 
     Program p = b*K + i handles the (chunk i -> bucket b) range:
       1. bulk:   ctrl[2P+p] whole rows from src row ctrl[p] to out row
          ctrl[P+p], bounced through a VMEM scratch in _CHUNK_ROWS blocks
          (dynamic row start+size DMA — the envelope probes/PROBES.md
          records as safe)
-      2. fringe: 2 STATIC rows fringe[2p:2p+2] -> out rows
-         [b*region_rows + l_rows + 2i, +2) — the <=254 sub-row elements
-         at the range's edges, sentinel-padded by the host
-      3. gap:    the last program of each bucket (i == K-1) fills the
-         unwritten rows between the bucket's packed bulk (ctrl[3P+b]
-         rows) and l_rows with the sentinel
+      2. fringe: the last program of each bucket (i == K-1) copies the
+         bucket's densely-packed fringe slab — exactly
+         l_rows - ctrl[3P+b] rows, because bulk*128 + fringes == L — from
+         fringe row b*slab_rows into the space after the packed bulk
 
     Every output row is written exactly once by exactly one program — no
-    XLA scatter pass, no prefill, and the grid stays core-splittable.
+    XLA scatter pass, no padding, and the grid stays core-splittable.
     """
     p = pl.program_id(0)
     b = p // K
@@ -130,7 +129,6 @@ def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, scratch, sem, *,
     s0 = ctrl_ref[p]
     d0 = ctrl_ref[P + p]
     nr = ctrl_ref[2 * P + p]
-    base = b * region_rows
 
     def copy_rows(src, s_off, d_off, sz):
         cp = pltpu.make_async_copy(
@@ -143,67 +141,38 @@ def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, scratch, sem, *,
         cp2.start()
         cp2.wait()
 
-    if interpret:
-        # the interpreter cannot express dynamic-SIZE slices: row by row
-        def row_copy(t, _):
-            copy_rows(src_ref, s0 + t, d0 + t, 1)
-            return 0
+    def loop_rows(src, s0, d0, nr):
+        if interpret:
+            # the interpreter cannot express dynamic-SIZE slices: row by row
+            def row_copy(t, _):
+                copy_rows(src, s0 + t, d0 + t, 1)
+                return 0
 
-        jax.lax.fori_loop(0, nr, row_copy, 0)
+            jax.lax.fori_loop(0, nr, row_copy, 0)
+        else:
+            def body(t, _):
+                off = t * _CHUNK_ROWS
+                sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), nr - off)
+                copy_rows(src, s0 + off, d0 + off, sz)
+                return 0
 
-        def fr_copy(t, _):
-            copy_rows(fringe_ref, 2 * p + t, base + l_rows + 2 * i + t, 1)
-            return 0
+            jax.lax.fori_loop(0, (nr + _CHUNK_ROWS - 1) // _CHUNK_ROWS,
+                              body, 0)
 
-        jax.lax.fori_loop(0, 2, fr_copy, 0)
-    else:
-        nblocks = (nr + _CHUNK_ROWS - 1) // _CHUNK_ROWS
-
-        def body(t, _):
-            off = t * _CHUNK_ROWS
-            sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), nr - off)
-            copy_rows(src_ref, s0 + off, d0 + off, sz)
-            return 0
-
-        jax.lax.fori_loop(0, nblocks, body, 0)
-        copy_rows(fringe_ref, 2 * p, base + l_rows + 2 * i, 2)
+    loop_rows(src_ref, s0, d0, nr)
 
     @pl.when(i == K - 1)
-    def _gap_fill():
+    def _fringe_fill():
         bulk_b = ctrl_ref[3 * P + b]
-        gn = l_rows - bulk_b  # <= ~2K+1 rows (<=254 fringe elems/chunk)
-        scratch[...] = jnp.full((_CHUNK_ROWS, LANES), -1, jnp.int32)
-
-        if interpret:
-            def g_row(t, _):
-                cp = pltpu.make_async_copy(
-                    scratch.at[pl.ds(0, 1), :],
-                    out_ref.at[pl.ds(base + bulk_b + t, 1), :], sem)
-                cp.start()
-                cp.wait()
-                return 0
-
-            jax.lax.fori_loop(0, gn, g_row, 0)
-        else:
-            def g_body(t, _):
-                off = t * _CHUNK_ROWS
-                sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), gn - off)
-                cp = pltpu.make_async_copy(
-                    scratch.at[pl.ds(0, sz), :],
-                    out_ref.at[pl.ds(base + bulk_b + off, sz), :], sem)
-                cp.start()
-                cp.wait()
-                return 0
-
-            jax.lax.fori_loop(0, (gn + _CHUNK_ROWS - 1) // _CHUNK_ROWS,
-                              g_body, 0)
+        loop_rows(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
+                  l_rows - bulk_b)
 
 
 @functools.lru_cache(maxsize=16)
 def _build_relocate(rows_out: int, P: int, K: int, l_rows: int,
-                    region_rows: int, interpret: bool):
+                    slab_rows: int, interpret: bool):
     kern = functools.partial(_relocate_kernel, P=P, K=K, l_rows=l_rows,
-                             region_rows=region_rows, interpret=interpret)
+                             slab_rows=slab_rows, interpret=interpret)
 
     def call(ctrl, src, fringe):
         return pl.pallas_call(
@@ -233,19 +202,18 @@ def _build_relocate(rows_out: int, P: int, K: int, l_rows: int,
 def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
                     interpret: bool) -> jnp.ndarray:
     """Move each (chunk i, bucket b) contiguous range into bucket b's
-    PADDED region (l_rows bulk+gap rows, then 2K static fringe rows):
-    whole rows via the DMA relocate, <=254-element range-edge fringes as
-    two sentinel-padded rows per (b, i) placed at static positions by the
-    same kernel — no per-element scatter anywhere.
+    dense L-element region: whole rows via the DMA relocate; the
+    <=254-element range-edge fringes are gathered DENSELY into one slab
+    per bucket (one small XLA gather) and DMA'd as the exact row-aligned
+    fill after the bucket's packed bulk (bulk*128 + fringes == L).
 
-    Returns (K, Lp) u32 with Lp = L + 2*K*LANES: each row holds bucket
-    b's exact L-element multiset plus sentinels; the caller sorts each
-    padded row and keeps the first L.
+    Returns flat (N,) u32: K dense buckets of exactly L elements.
     """
     N = K * L
     rows_total = N // LANES
     l_rows = L // LANES
-    region_rows = l_rows + 2 * K
+    # per-bucket fringe slab: fringe count <= 254*K elems < 2K rows
+    slab_rows = 2 * K
     i_base = (jnp.arange(K, dtype=jnp.int32) * L)[:, None]    # (K,1)
     g_start = bounds[:, :-1] + i_base                          # (K,K) elems
     g_end = bounds[:, 1:] + i_base
@@ -257,33 +225,42 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
     # output-major (b, i) ordering
     nr_bi = nrows.T                                            # (b,i)
     bulk_rows_b = jnp.sum(nr_bi, axis=1)                       # (b,)
-    dst_bi = (jnp.arange(K, dtype=jnp.int32) * region_rows)[:, None] + (
+    dst_bi = (jnp.arange(K, dtype=jnp.int32) * l_rows)[:, None] + (
         jnp.cumsum(nr_bi, axis=1) - nr_bi)
     ctrl = jnp.concatenate(
         [a0.T.reshape(-1), dst_bi.reshape(-1), nr_bi.reshape(-1),
          bulk_rows_b])
 
     # fringes: the <=127-element ends of each range that the row relocate
-    # skips, gathered into two dense sentinel-padded rows per (b, i)
+    # skips.  Pack bucket b's fringes densely in chunk order: slab
+    # position t belongs to chunk c with foff[b,c] <= t < foff[b,c+1].
     lo_end = jnp.minimum(a0 * LANES, g_end)
     front = lo_end - g_start                                   # (i,b)
     hi_start = jnp.maximum(a1 * LANES, lo_end)
     back = g_end - hi_start
-    j = jax.lax.broadcasted_iota(jnp.int32, (K, K, _FRINGE_SLOTS), 2)
-    src = jnp.where(
-        j < front[:, :, None], g_start[:, :, None] + j,
-        hi_start[:, :, None] + (j - front[:, :, None]))
-    valid = j < (front + back)[:, :, None]
+    fr_bi = (front + back).T                                   # (b,i)
+    foff_bi = jnp.cumsum(fr_bi, axis=1) - fr_bi                # excl, (b,i)
+    fringe_b = jnp.sum(fr_bi, axis=1)                          # == L-128*bulk
+
+    t = jax.lax.broadcasted_iota(jnp.int32, (K, slab_rows * LANES), 1)
+    c = jax.vmap(
+        lambda fo, tt: jnp.searchsorted(fo, tt, side="right").astype(
+            jnp.int32))(foff_bi, t) - 1
+    c = jnp.clip(c, 0, K - 1)
+    take = lambda m: jnp.take_along_axis(m.T, c, axis=1)       # (b, slab)
+    j = t - take(foff_bi.T)
+    src = jnp.where(j < take(front), take(g_start) + j,
+                    take(hi_start) + (j - take(front)))
+    valid = t < fringe_b[:, None]
     vals = jnp.where(valid.reshape(-1),
                      x[jnp.clip(src, 0, N - 1).reshape(-1)], _SENTINEL)
-    fringe = jnp.transpose(vals.reshape(K, K, _FRINGE_SLOTS),
-                           (1, 0, 2)).reshape(-1, LANES)       # (2*K*K,128)
+    fringe = vals.reshape(K * slab_rows, LANES)
 
-    out2 = _build_relocate(K * region_rows, K * K, K, l_rows, region_rows,
+    out2 = _build_relocate(rows_total, K * K, K, l_rows, slab_rows,
                            interpret)(
         ctrl, x.reshape(rows_total, LANES).view(jnp.int32),
         fringe.view(jnp.int32))
-    return out2.view(jnp.uint32).reshape(K, region_rows * LANES)
+    return out2.view(jnp.uint32).reshape(-1)
 
 
 def sort_codes_rangesweep(codes: jnp.ndarray,
@@ -312,12 +289,10 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
     # phase 1: mapped VMEM-resident chunk sorts
     x2 = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
                      x.reshape(K, L))
-    # phase 2: exact cuts + range exchange (padded buckets, (K, Lp))
+    # phase 2: exact cuts + range exchange (dense buckets, flat (N,))
     bounds = _exact_cuts(x2, K, L)
     out = _range_exchange(x2.reshape(-1), bounds, K, L, interpret)
-    # phase 3: mapped padded-bucket sorts; sentinels sort to each row's
-    # tail, the first L elements are the bucket (slice inside the map body
-    # so the padded (K, Lp) intermediate is never materialized)
-    res = jax.lax.map(
-        lambda r: xla_sort.sort_all_keys_unstable((r,))[0][:L], out)
+    # phase 3: mapped dense-bucket sorts — the same shape as phase 1
+    res = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
+                      out.reshape(K, L))
     return res.reshape(-1)[:n]
