@@ -56,7 +56,8 @@ def main():
             return 1
 
     n = 1 << 28
-    for lg in (23, 22, 24):
+    lgs = [int(a) for a in sys.argv[1:]] or [23, 22, 24]
+    for lg in lgs:
         L = 1 << lg
         fn = lambda codes, L=L: rangesweep.sort_codes_rangesweep(
             codes, seg_elems=L)

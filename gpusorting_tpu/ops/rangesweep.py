@@ -49,8 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 from .radix16 import LANES, _is_tpu
 
 _SENTINEL = jnp.uint32(0xFFFFFFFF)
-# relocate bounce-buffer height (rows): 2048 rows x 128 lanes x 4 B = 1 MB
-_CHUNK_ROWS = 2048
 
 
 def _grid_sem():
@@ -105,79 +103,103 @@ def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
     return jnp.concatenate([zeros, cuts, full], axis=1)  # (K, K+1)
 
 
-def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, scratch, sem, *,
-                     P: int, K: int, l_rows: int, slab_rows: int,
+def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,
+                     K: int, l_rows: int, slab_rows: int,
                      interpret: bool):
-    """Sequential-grid HBM->HBM row relocate + dense fringe fill.
+    """One program per BUCKET: direct HBM->HBM range relocate.
 
-    Program p = b*K + i handles the (chunk i -> bucket b) range:
-      1. bulk:   ctrl[2P+p] whole rows from src row ctrl[p] to out row
-         ctrl[P+p], bounced through a VMEM scratch in _CHUNK_ROWS blocks
-         (dynamic row start+size DMA — the envelope probes/PROBES.md
-         records as safe)
-      2. fringe: the last program of each bucket (i == K-1) copies the
-         bucket's densely-packed fringe slab — exactly
-         l_rows - ctrl[3P+b] rows, because bulk*128 + fringes == L — from
-         fringe row b*slab_rows into the space after the packed bulk
+    Program b copies its K source ranges (chunk i's rows
+    [ctrl[b*K+i], +ctrl[2KK+b*K+i]) -> out rows [ctrl[KK+b*K+i], ...))
+    plus the bucket's densely-packed fringe slab (exactly
+    l_rows - ctrl[3KK+b] rows, because bulk*128 + fringes == L).  All
+    K+1 copies are issued ASYNC on one counting semaphore, then drained —
+    the DMA engine overlaps them (round-4d: the bounce-through-VMEM form
+    at K*K programs cost 53.8 ms at seg 2^23; direct HBM->HBM DMA probed
+    working in benches/hw_rangesweep5.py).
 
-    Every output row is written exactly once by exactly one program — no
-    XLA scatter pass, no padding, and the grid stays core-splittable.
+    Writes are disjoint per program (exact packing) — core-splittable.
     """
-    p = pl.program_id(0)
-    b = p // K
-    i = p - b * K
-    s0 = ctrl_ref[p]
-    d0 = ctrl_ref[P + p]
-    nr = ctrl_ref[2 * P + p]
+    b = pl.program_id(0)
+    KK = K * K
 
-    def copy_rows(src, s_off, d_off, sz):
-        cp = pltpu.make_async_copy(
-            src.at[pl.ds(s_off, sz), :], scratch.at[pl.ds(0, sz), :], sem)
-        cp.start()
-        cp.wait()
-        cp2 = pltpu.make_async_copy(
-            scratch.at[pl.ds(0, sz), :], out_ref.at[pl.ds(d_off, sz), :],
+    def rng_copy(i):
+        base = b * K + i
+        return pltpu.make_async_copy(
+            src_ref.at[pl.ds(ctrl_ref[base], ctrl_ref[2 * KK + base]), :],
+            out_ref.at[pl.ds(ctrl_ref[KK + base], ctrl_ref[2 * KK + base]),
+                       :],
             sem)
-        cp2.start()
-        cp2.wait()
 
-    def loop_rows(src, s0, d0, nr):
-        if interpret:
-            # the interpreter cannot express dynamic-SIZE slices: row by row
-            def row_copy(t, _):
-                copy_rows(src, s0 + t, d0 + t, 1)
+    def fr_copy():
+        bulk_b = ctrl_ref[3 * KK + b]
+        return pltpu.make_async_copy(
+            fringe_ref.at[pl.ds(b * slab_rows, l_rows - bulk_b), :],
+            out_ref.at[pl.ds(b * l_rows + bulk_b, l_rows - bulk_b), :],
+            sem)
+
+    if interpret:
+        # the interpreter cannot express dynamic-SIZE slices: row by row,
+        # synchronous
+        def row_copy(src, s0, d0, nr):
+            def one(t, _):
+                cp = pltpu.make_async_copy(
+                    src.at[pl.ds(s0 + t, 1), :],
+                    out_ref.at[pl.ds(d0 + t, 1), :], sem)
+                cp.start()
+                cp.wait()
                 return 0
 
-            jax.lax.fori_loop(0, nr, row_copy, 0)
-        else:
-            def body(t, _):
-                off = t * _CHUNK_ROWS
-                sz = jnp.minimum(jnp.int32(_CHUNK_ROWS), nr - off)
-                copy_rows(src, s0 + off, d0 + off, sz)
-                return 0
+            jax.lax.fori_loop(0, nr, one, 0)
 
-            jax.lax.fori_loop(0, (nr + _CHUNK_ROWS - 1) // _CHUNK_ROWS,
-                              body, 0)
+        def body(i, _):
+            base = b * K + i
+            row_copy(src_ref, ctrl_ref[base], ctrl_ref[KK + base],
+                     ctrl_ref[2 * KK + base])
+            return 0
 
-    loop_rows(src_ref, s0, d0, nr)
+        jax.lax.fori_loop(0, K, body, 0)
+        bulk_b = ctrl_ref[3 * KK + b]
+        row_copy(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
+                 l_rows - bulk_b)
+        return
 
-    @pl.when(i == K - 1)
-    def _fringe_fill():
-        bulk_b = ctrl_ref[3 * P + b]
-        loop_rows(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
-                  l_rows - bulk_b)
+    def start(i, _):
+        @pl.when(ctrl_ref[2 * KK + b * K + i] > 0)
+        def _():
+            rng_copy(i).start()
+
+        return 0
+
+    def drain(i, _):
+        @pl.when(ctrl_ref[2 * KK + b * K + i] > 0)
+        def _():
+            rng_copy(i).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, K, start, 0)
+
+    @pl.when(ctrl_ref[3 * KK + b] < l_rows)
+    def _():
+        fr_copy().start()
+
+    jax.lax.fori_loop(0, K, drain, 0)
+
+    @pl.when(ctrl_ref[3 * KK + b] < l_rows)
+    def _():
+        fr_copy().wait()
 
 
 @functools.lru_cache(maxsize=16)
-def _build_relocate(rows_out: int, P: int, K: int, l_rows: int,
+def _build_relocate(rows_out: int, K: int, l_rows: int,
                     slab_rows: int, interpret: bool):
-    kern = functools.partial(_relocate_kernel, P=P, K=K, l_rows=l_rows,
+    kern = functools.partial(_relocate_kernel, K=K, l_rows=l_rows,
                              slab_rows=slab_rows, interpret=interpret)
 
     def call(ctrl, src, fringe):
         return pl.pallas_call(
             kern,
-            grid=(P,),
+            grid=(K,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -186,7 +208,6 @@ def _build_relocate(rows_out: int, P: int, K: int, l_rows: int,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             out_shape=jax.ShapeDtypeStruct((rows_out, LANES), jnp.int32),
             scratch_shapes=[
-                pltpu.VMEM((_CHUNK_ROWS, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA,
             ],
             compiler_params=pltpu.CompilerParams(
@@ -256,7 +277,7 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
                      x[jnp.clip(src, 0, N - 1).reshape(-1)], _SENTINEL)
     fringe = vals.reshape(K * slab_rows, LANES)
 
-    out2 = _build_relocate(rows_total, K * K, K, l_rows, slab_rows,
+    out2 = _build_relocate(rows_total, K, l_rows, slab_rows,
                            interpret)(
         ctrl, x.reshape(rows_total, LANES).view(jnp.int32),
         fringe.view(jnp.int32))
