@@ -221,12 +221,25 @@ def _build_relocate(rows_out: int, K: int, l_rows: int,
 
 
 def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
-                    interpret: bool) -> jnp.ndarray:
+                    interpret: bool,
+                    method: str = "gather") -> jnp.ndarray:
     """Move each (chunk i, bucket b) contiguous range into bucket b's
-    dense L-element region: whole rows via the DMA relocate; the
-    <=254-element range-edge fringes are gathered DENSELY into one slab
-    per bucket (one small XLA gather) and DMA'd as the exact row-aligned
-    fill after the bucket's packed bulk (bulk*128 + fringes == L).
+    dense L-element region.  The <=254-element range-edge fringes are
+    gathered DENSELY into one slab per bucket (one small XLA gather);
+    bulk*128 + fringes == L, so the slab is the exact row-aligned fill
+    after the bucket's packed bulk rows.
+
+    method="gather" (measured default): ONE whole-array XLA row gather —
+    the fringe slabs are appended below the source rows and a
+    device-computed (rows,) map pulls every output row from its bulk or
+    slab source.  13.1 Gelem/s at 2^28 (20.5 ms; 105 GB/s effective —
+    benches/hw_rowgather_probe.py); row gathers are NOT the 0.11 Gelem/s
+    flat-element gather of PROBES.md.
+
+    method="dma": the Pallas relocate (one program per bucket, direct
+    HBM->HBM async copies).  Measured ~55 ms at seg 2^23: the cost is
+    ~40 us PER dynamic-descriptor DMA and there are K^2 of them, so the
+    gather form wins (hw_rangesweep5/6 logs).
 
     Returns flat (N,) u32: K dense buckets of exactly L elements.
     """
@@ -277,6 +290,27 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
                      x[jnp.clip(src, 0, N - 1).reshape(-1)], _SENTINEL)
     fringe = vals.reshape(K * slab_rows, LANES)
 
+    if method == "gather":
+        # out row q of bucket b: bulk rows pull from chunk
+        # i = max{i: cum[b,i] <= q} at a0[i,b] + (q - cum[b,i]); slab rows
+        # (q >= bulk_rows_b) pull from the appended fringe slab
+        cum = jnp.cumsum(nr_bi, axis=1) - nr_bi                # (b,i)
+        q = jax.lax.broadcasted_iota(jnp.int32, (K, l_rows), 1)
+        i_sel = jax.vmap(
+            lambda cb, qb: jnp.searchsorted(
+                cb, qb, side="right").astype(jnp.int32))(cum, q) - 1
+        i_sel = jnp.clip(i_sel, 0, K - 1)
+        pick = lambda m: jnp.take_along_axis(m, i_sel, axis=1)  # (b,l_rows)
+        src_bulk = pick(a0.T) + (q - pick(cum))
+        is_slab = q >= bulk_rows_b[:, None]
+        slab_base = (rows_total
+                     + slab_rows * jnp.arange(K, dtype=jnp.int32)[:, None]
+                     - bulk_rows_b[:, None])
+        g = jnp.where(is_slab, slab_base + q, src_bulk).reshape(-1)
+        src2 = jnp.concatenate(
+            [x.reshape(rows_total, LANES), fringe], axis=0)
+        return jnp.take(src2, g, axis=0).reshape(-1)
+
     out2 = _build_relocate(rows_total, K, l_rows, slab_rows,
                            interpret)(
         ctrl, x.reshape(rows_total, LANES).view(jnp.int32),
@@ -286,8 +320,15 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
 
 def sort_codes_rangesweep(codes: jnp.ndarray,
                           seg_elems: int | None = None,
-                          interpret: bool | None = None) -> jnp.ndarray:
-    """Ascending keys-only sort of u32 codes via the range exchange."""
+                          interpret: bool | None = None,
+                          method: str = "gather") -> jnp.ndarray:
+    """Ascending keys-only sort of u32 codes via the range exchange.
+
+    method: "gather" (measured default — one XLA row gather) or "dma"
+    (the Pallas relocate kernel); see `_range_exchange`.
+    """
+    if method not in ("gather", "dma"):
+        raise ValueError(f"unknown method {method!r}")
     if interpret is None:
         interpret = not _is_tpu()
     n = codes.shape[0]
@@ -312,7 +353,8 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
                      x.reshape(K, L))
     # phase 2: exact cuts + range exchange (dense buckets, flat (N,))
     bounds = _exact_cuts(x2, K, L)
-    out = _range_exchange(x2.reshape(-1), bounds, K, L, interpret)
+    out = _range_exchange(x2.reshape(-1), bounds, K, L, interpret,
+                          method=method)
     # phase 3: mapped dense-bucket sorts — the same shape as phase 1
     res = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
                       out.reshape(K, L))

@@ -14,19 +14,22 @@ from gpusorting_tpu.core import prng
 from gpusorting_tpu.ops import rangesweep
 
 
+@pytest.mark.parametrize("method", ["gather", "dma"])
 @pytest.mark.parametrize("n,L", [
     (1000, 2048),        # single chunk: passthrough flat sort
     (2048, 256),         # K=8, exact multiple
     (5000, 512),         # K=10, padded tail chunk
     (33_000, 1024),      # K=33 (>32 programs), padded
 ])
-def test_keys_oracle(n, L):
+def test_keys_oracle(n, L, method):
     x = prng.hybrid_taus_bits(n, seed=n % 97)
-    out = np.asarray(rangesweep.sort_codes_rangesweep(x, seg_elems=L))
+    out = np.asarray(rangesweep.sort_codes_rangesweep(
+        x, seg_elems=L, method=method))
     np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
 
 
-def test_adversarial_inputs():
+@pytest.mark.parametrize("method", ["gather", "dma"])
+def test_adversarial_inputs(method):
     # skew kills sampled-splitter schemes; exact cuts must not care.
     n, L = 6000, 512
     for arr in (jnp.full((n,), 7, jnp.uint32),
@@ -39,7 +42,8 @@ def test_adversarial_inputs():
                           jnp.uint32(0xFFFFFFFF),
                           jnp.arange(n, dtype=jnp.uint32)),
                 prng.hybrid_taus_bits(n, seed=5, and_count=4)):
-        out = np.asarray(rangesweep.sort_codes_rangesweep(arr, seg_elems=L))
+        out = np.asarray(rangesweep.sort_codes_rangesweep(
+            arr, seg_elems=L, method=method))
         np.testing.assert_array_equal(out, np.sort(np.asarray(arr)))
 
 
