@@ -33,24 +33,30 @@ ROWS = 1 << 21  # x 128 lanes x 4B = 1 GB
 def build(n_copies: int, n_sems: int):
     rows_per = ROWS // n_copies
 
+    assert n_copies % n_sems == 0
+    per = n_copies // n_sems
+
     def kern(ctrl_ref, src_ref, out_ref, *sems):
-        def mk(i):
+        def mk(i, sem):
             s0 = ctrl_ref[i]
             return pltpu.make_async_copy(
                 src_ref.at[pl.ds(s0, rows_per), :],
                 out_ref.at[pl.ds(s0, rows_per), :],
-                sems[i % n_sems])
+                sem)
 
-        def start(i, _):
-            mk(i).start()
-            return 0
+        # static python unroll over sems; fori over each sem's copies
+        for s in range(n_sems):
+            def start(t, _, s=s):
+                mk(s + t * n_sems, sems[s]).start()
+                return 0
 
-        def drain(i, _):
-            mk(i).wait()
-            return 0
+            jax.lax.fori_loop(0, per, start, 0)
+        for s in range(n_sems):
+            def drain(t, _, s=s):
+                mk(s + t * n_sems, sems[s]).wait()
+                return 0
 
-        jax.lax.fori_loop(0, n_copies, start, 0)
-        jax.lax.fori_loop(0, n_copies, drain, 0)
+            jax.lax.fori_loop(0, per, drain, 0)
 
     def call(x):
         ctrl = jnp.arange(n_copies, dtype=jnp.int32) * rows_per

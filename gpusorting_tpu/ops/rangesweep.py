@@ -111,83 +111,69 @@ def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,
     Program b copies its K source ranges (chunk i's rows
     [ctrl[b*K+i], +ctrl[2KK+b*K+i]) -> out rows [ctrl[KK+b*K+i], ...))
     plus the bucket's densely-packed fringe slab (exactly
-    l_rows - ctrl[3KK+b] rows, because bulk*128 + fringes == L).  All
-    K+1 copies are issued ASYNC on one counting semaphore, then drained —
-    the DMA engine overlaps them (round-4d: the bounce-through-VMEM form
-    at K*K programs cost 53.8 ms at seg 2^23; direct HBM->HBM DMA probed
-    working in benches/hw_rangesweep5.py).
+    l_rows - ctrl[3KK+b] rows, because bulk*128 + fringes == L).
+
+    Each dynamic-LENGTH range is binary-decomposed into conditional
+    STATIC-size power-of-two copies: the DMA engine streams static-size
+    copies at ~250 GB/s regardless of copy count or semaphore fan-out,
+    while dynamic-size copies take a ~7x slower path (~37 GB/s) —
+    benches/hw_dma_bw.py vs hw_rangesweep5/6 logs.  All copies are issued
+    ASYNC on one counting semaphore, then drained with identical
+    conditional structure.
 
     Writes are disjoint per program (exact packing) — core-splittable.
     """
     b = pl.program_id(0)
     KK = K * K
+    n_bits = max(l_rows.bit_length(), 1)
 
-    def rng_copy(i):
-        base = b * K + i
-        return pltpu.make_async_copy(
-            src_ref.at[pl.ds(ctrl_ref[base], ctrl_ref[2 * KK + base]), :],
-            out_ref.at[pl.ds(ctrl_ref[KK + base], ctrl_ref[2 * KK + base]),
-                       :],
-            sem)
+    def blocks(src, s0, d0, nr, act):
+        # static-size power-of-two copies covering [0, nr) rows
+        off = jnp.int32(0)
+        for k in range(n_bits - 1, -1, -1):
+            bit = (nr >> k) & 1
 
-    def fr_copy():
-        bulk_b = ctrl_ref[3 * KK + b]
-        return pltpu.make_async_copy(
-            fringe_ref.at[pl.ds(b * slab_rows, l_rows - bulk_b), :],
-            out_ref.at[pl.ds(b * l_rows + bulk_b, l_rows - bulk_b), :],
-            sem)
+            @pl.when(bit == 1)
+            def _(off=off, k=k):
+                getattr(pltpu.make_async_copy(
+                    src.at[pl.ds(s0 + off, 1 << k), :],
+                    out_ref.at[pl.ds(d0 + off, 1 << k), :],
+                    sem), act)()
+
+            off = off + (bit << k)
 
     if interpret:
-        # the interpreter cannot express dynamic-SIZE slices: row by row,
-        # synchronous
-        def row_copy(src, s0, d0, nr):
-            def one(t, _):
-                cp = pltpu.make_async_copy(
-                    src.at[pl.ds(s0 + t, 1), :],
-                    out_ref.at[pl.ds(d0 + t, 1), :], sem)
-                cp.start()
-                cp.wait()
-                return 0
-
-            jax.lax.fori_loop(0, nr, one, 0)
-
+        # the interpreter cannot overlap; run each block synchronously
         def body(i, _):
             base = b * K + i
-            row_copy(src_ref, ctrl_ref[base], ctrl_ref[KK + base],
-                     ctrl_ref[2 * KK + base])
+            blocks(src_ref, ctrl_ref[base], ctrl_ref[KK + base],
+                   ctrl_ref[2 * KK + base], "start")
+            blocks(src_ref, ctrl_ref[base], ctrl_ref[KK + base],
+                   ctrl_ref[2 * KK + base], "wait")
             return 0
 
         jax.lax.fori_loop(0, K, body, 0)
         bulk_b = ctrl_ref[3 * KK + b]
-        row_copy(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
-                 l_rows - bulk_b)
+        blocks(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
+               l_rows - bulk_b, "start")
+        blocks(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
+               l_rows - bulk_b, "wait")
         return
 
-    def start(i, _):
-        @pl.when(ctrl_ref[2 * KK + b * K + i] > 0)
-        def _():
-            rng_copy(i).start()
+    def sweep(act):
+        def body(i, _):
+            base = b * K + i
+            blocks(src_ref, ctrl_ref[base], ctrl_ref[KK + base],
+                   ctrl_ref[2 * KK + base], act)
+            return 0
 
-        return 0
+        jax.lax.fori_loop(0, K, body, 0)
+        bulk_b = ctrl_ref[3 * KK + b]
+        blocks(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
+               l_rows - bulk_b, act)
 
-    def drain(i, _):
-        @pl.when(ctrl_ref[2 * KK + b * K + i] > 0)
-        def _():
-            rng_copy(i).wait()
-
-        return 0
-
-    jax.lax.fori_loop(0, K, start, 0)
-
-    @pl.when(ctrl_ref[3 * KK + b] < l_rows)
-    def _():
-        fr_copy().start()
-
-    jax.lax.fori_loop(0, K, drain, 0)
-
-    @pl.when(ctrl_ref[3 * KK + b] < l_rows)
-    def _():
-        fr_copy().wait()
+    sweep("start")
+    sweep("wait")
 
 
 @functools.lru_cache(maxsize=16)
@@ -222,7 +208,7 @@ def _build_relocate(rows_out: int, K: int, l_rows: int,
 
 def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
                     interpret: bool,
-                    method: str = "gather") -> jnp.ndarray:
+                    method: str = "dma") -> jnp.ndarray:
     """Move each (chunk i, bucket b) contiguous range into bucket b's
     dense L-element region.  The <=254-element range-edge fringes are
     gathered DENSELY into one slab per bucket (one small XLA gather);
@@ -321,7 +307,7 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
 def sort_codes_rangesweep(codes: jnp.ndarray,
                           seg_elems: int | None = None,
                           interpret: bool | None = None,
-                          method: str = "gather") -> jnp.ndarray:
+                          method: str = "dma") -> jnp.ndarray:
     """Ascending keys-only sort of u32 codes via the range exchange.
 
     method: "gather" (measured default — one XLA row gather) or "dma"
