@@ -252,8 +252,12 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
          bulk_rows_b])
 
     # fringes: the <=127-element ends of each range that the row relocate
-    # skips.  Pack bucket b's fringes densely in chunk order: slab
-    # position t belongs to chunk c with foff[b,c] <= t < foff[b,c+1].
+    # skips.  Each range's fringes live in exactly TWO source rows (the
+    # partial row before its bulk and the one after), so the ONLY touch
+    # of the big array is a 2*K*K-row gather; everything after is
+    # fixed-small-shape lane gathers.  (Round-4f lesson: a flat element
+    # gather from the 1 GB array cost ~42 ms for 262K elements in
+    # pipeline position — benches/logs/hw_rangesweep9_r4.log C vs D.)
     lo_end = jnp.minimum(a0 * LANES, g_end)
     front = lo_end - g_start                                   # (i,b)
     hi_start = jnp.maximum(a1 * LANES, lo_end)
@@ -262,19 +266,41 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
     foff_bi = jnp.cumsum(fr_bi, axis=1) - fr_bi                # excl, (b,i)
     fringe_b = jnp.sum(fr_bi, axis=1)                          # == L-128*bulk
 
+    x2d = x.reshape(rows_total, LANES)
+    row_f = jnp.clip(a0.T - 1, 0, rows_total - 1)              # (b,i)
+    row_b = jnp.clip(a1.T, 0, rows_total - 1)
+    pair_rows = jnp.stack([row_f, row_b], axis=-1).reshape(-1)  # (2KK,)
+    pairs = jnp.take(x2d, pair_rows, axis=0).reshape(
+        K * K, 2 * LANES)                                      # (KK, 256)
+
+    # pack each (b,i) piece densely: piece position p pulls front lane
+    # g_start%128 + p, then back lane 128 + (p - front)
+    p = jax.lax.broadcasted_iota(jnp.int32, (K * K, 2 * LANES), 1)
+    fr_flat = fr_bi.reshape(-1, 1)
+    front_bi = front.T.reshape(-1, 1)
+    g0_lane = (g_start.T.reshape(-1, 1)) % LANES
+    idx = jnp.where(p < front_bi, g0_lane + p,
+                    LANES + (p - front_bi))
+    pieces = jnp.where(
+        p < fr_flat,
+        jnp.take_along_axis(pairs, jnp.clip(idx, 0, 2 * LANES - 1),
+                            axis=1),
+        _SENTINEL)                                             # (KK, 256)
+
+    # dense per-bucket slab: slab position t of bucket b is element
+    # j = t - foff[b,c] of piece c (searchsorted over cumulative counts)
     t = jax.lax.broadcasted_iota(jnp.int32, (K, slab_rows * LANES), 1)
     c = jax.vmap(
         lambda fo, tt: jnp.searchsorted(fo, tt, side="right").astype(
             jnp.int32))(foff_bi, t) - 1
     c = jnp.clip(c, 0, K - 1)
-    take = lambda m: jnp.take_along_axis(m.T, c, axis=1)       # (b, slab)
-    j = t - take(foff_bi.T)
-    src = jnp.where(j < take(front), take(g_start) + j,
-                    take(hi_start) + (j - take(front)))
+    j = t - jnp.take_along_axis(foff_bi, c, axis=1)
+    slab_idx = c * (2 * LANES) + jnp.clip(j, 0, 2 * LANES - 1)
+    slab = jnp.take_along_axis(
+        pieces.reshape(K, K * 2 * LANES), slab_idx, axis=1)
     valid = t < fringe_b[:, None]
-    vals = jnp.where(valid.reshape(-1),
-                     x[jnp.clip(src, 0, N - 1).reshape(-1)], _SENTINEL)
-    fringe = vals.reshape(K * slab_rows, LANES)
+    fringe = jnp.where(valid, slab, _SENTINEL).reshape(
+        K * slab_rows, LANES)
 
     if method == "gather":
         # out row q of bucket b: bulk rows pull from chunk
