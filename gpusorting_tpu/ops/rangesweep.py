@@ -19,15 +19,19 @@ headline benchmark.
      chunk.  Whole 128-lane rows ride a sequential-grid HBM->HBM DMA
      relocate kernel — no per-element distribution work, so probe13's
      ~6 ms/2^24 bucketize floor does NOT apply.  The <=127-element row
-     fringes at range edges (<= 254*K*K elements total, ~65K at K=16) are
-     gathered DENSELY into one slab per bucket by a single small XLA
-     gather; because bulk_rows*128 + fringe_count == L exactly, the
-     bucket's fringe slab is an exact row-aligned fill of the space after
-     its packed bulk — one DMA per bucket, every output row written
-     exactly once, no scatter and NO padding (round-4b lesson: padding a
-     bucket to L + 2K*128 de-power-of-two's phase 3 and XLA's bitonic
-     sort pads it back up to 2L — measured +160 ms at 2^28,
-     benches/logs/hw_rangesweep3_r4.log).
+     fringes at range edges (<= 254*K*K elements total, ~65K at K=16)
+     live in exactly two source rows per range; one 2*K*K-row gather
+     pulls those rows and ONE tiny batched sort (unique dense-position
+     keys) packs each bucket's fringes densely — because
+     bulk_rows*128 + fringe_count == L exactly, the slab is an exact
+     row-aligned fill of the space after the bucket's packed bulk: one
+     DMA per bucket, every output row written exactly once, no scatter
+     and NO padding (round-4b lesson: padding a bucket to L + 2K*128
+     de-power-of-two's phase 3 and XLA's bitonic sort pads it back up to
+     2L — measured +160 ms, hw_rangesweep3_r4.log; round-4h lesson:
+     searchsorted / small-row take_along_axis index machinery costs
+     13-26 ms at these shapes in pipeline position, the batched sort
+     ~0.3 ms — hw_prep_iso_r4.log).
   4. buckets are dense and exactly L elements: `lax.map` flat sorts again.
 
 Placement order inside a bucket is irrelevant — step 4 re-sorts the bucket;
@@ -264,43 +268,39 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
     back = g_end - hi_start
     fr_bi = (front + back).T                                   # (b,i)
     foff_bi = jnp.cumsum(fr_bi, axis=1) - fr_bi                # excl, (b,i)
-    fringe_b = jnp.sum(fr_bi, axis=1)                          # == L-128*bulk
 
     x2d = x.reshape(rows_total, LANES)
     row_f = jnp.clip(a0.T - 1, 0, rows_total - 1)              # (b,i)
     row_b = jnp.clip(a1.T, 0, rows_total - 1)
     pair_rows = jnp.stack([row_f, row_b], axis=-1).reshape(-1)  # (2KK,)
     pairs = jnp.take(x2d, pair_rows, axis=0).reshape(
-        K * K, 2 * LANES)                                      # (KK, 256)
+        K, K, 2 * LANES)                                       # (b,i,256)
 
-    # pack each (b,i) piece densely: piece position p pulls front lane
-    # g_start%128 + p, then back lane 128 + (p - front)
-    p = jax.lax.broadcasted_iota(jnp.int32, (K * K, 2 * LANES), 1)
-    fr_flat = fr_bi.reshape(-1, 1)
-    front_bi = front.T.reshape(-1, 1)
-    g0_lane = (g_start.T.reshape(-1, 1)) % LANES
-    idx = jnp.where(p < front_bi, g0_lane + p,
-                    LANES + (p - front_bi))
-    pieces = jnp.where(
-        p < fr_flat,
-        jnp.take_along_axis(pairs, jnp.clip(idx, 0, 2 * LANES - 1),
-                            axis=1),
-        _SENTINEL)                                             # (KK, 256)
-
-    # dense per-bucket slab: slab position t of bucket b is element
-    # j = t - foff[b,c] of piece c (searchsorted over cumulative counts)
-    t = jax.lax.broadcasted_iota(jnp.int32, (K, slab_rows * LANES), 1)
-    c = jax.vmap(
-        lambda fo, tt: jnp.searchsorted(fo, tt, side="right").astype(
-            jnp.int32))(foff_bi, t) - 1
-    c = jnp.clip(c, 0, K - 1)
-    j = t - jnp.take_along_axis(foff_bi, c, axis=1)
-    slab_idx = c * (2 * LANES) + jnp.clip(j, 0, 2 * LANES - 1)
-    slab = jnp.take_along_axis(
-        pieces.reshape(K, K * 2 * LANES), slab_idx, axis=1)
-    valid = t < fringe_b[:, None]
-    fringe = jnp.where(valid, slab, _SENTINEL).reshape(
-        K * slab_rows, LANES)
+    # dense per-bucket slab by ONE tiny batched sort: every valid fringe
+    # slot gets its UNIQUE dense position (foff[b,i] + within-piece rank)
+    # as an i32 key, junk gets a big key, and an unstable 2-operand row
+    # sort of (K, 2K*128) packs each bucket densely.  (Round-4h lesson:
+    # searchsorted and small-row take_along_axis cost 13-26 ms at these
+    # shapes in pipeline position — benches/logs/hw_prep_iso_r4.log —
+    # while a 262K-pair batched sort is ~0.3 ms by the window-pass table.)
+    s = jax.lax.broadcasted_iota(jnp.int32, (K, K, 2 * LANES), 2)
+    front_bi3 = front.T[:, :, None]                            # (b,i,1)
+    back_bi3 = back.T[:, :, None]
+    g0_lane3 = (g_start.T % LANES)[:, :, None]
+    jf = s - g0_lane3                                          # front rank
+    jb = front_bi3 + (s - LANES)                               # back rank
+    key = jnp.where(
+        (s < LANES) & (jf >= 0) & (jf < front_bi3),
+        foff_bi[:, :, None] + jf,
+        jnp.where((s >= LANES) & (s - LANES < back_bi3),
+                  foff_bi[:, :, None] + jb,
+                  jnp.int32(2 * K * LANES)))                   # unique pos
+    skey, svals = jax.lax.sort(
+        (key.reshape(K, slab_rows * LANES),
+         pairs.reshape(K, slab_rows * LANES)),
+        dimension=1, num_keys=1)
+    del skey
+    fringe = svals.reshape(K * slab_rows, LANES)
 
     if method == "gather":
         # out row q of bucket b: bulk rows pull from chunk
