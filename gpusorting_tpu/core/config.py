@@ -380,20 +380,28 @@ class RoutingParameters:
     # smallest keys-only n AUTO routes through the rangesweep engine
     # (ops/rangesweep.py) instead of the flat XLA sort; None disables the
     # route.  Set per generation by hardware measurement ONLY (the
-    # flagship crossover; benches/hw_rangesweep.py).
+    # flagship crossover; benches/hw_crossover.py).
     rangesweep_min: int | None = None
+    # rangesweep phase-1 chunk length (measured winner: 2^23 on v5e —
+    # 441.4 ms vs XLA's 469.7 at 2^28, benches/logs/hw_rangesweep12_r4.log)
+    rangesweep_seg_elems: int = 1 << 23
     measured: bool = False
 
 
 _ROUTING_TABLE = {
-    # v5e: all values hardware-measured (round-3 campaign)
-    "v5e": RoutingParameters(measured=True),
+    # v5e: all values hardware-measured (round-3 campaign; rangesweep
+    # crossover round 4 — wins 441.4 vs 469.7 ms at 2^28, loses 212.8 vs
+    # 208.6 at 2^27: benches/logs/hw_rangesweep12_r4.log,
+    # hw_crossover_r4.log)
+    "v5e": RoutingParameters(rangesweep_min=1 << 28, measured=True),
     # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
     # until hardware is available; v4 likewise (slower HBM shifts the map
-    # crossover down if anything, which only costs peak, not correctness)
-    "v5p": RoutingParameters(),
-    "v6e": RoutingParameters(),
-    "v4": RoutingParameters(),
+    # crossover down if anything, which only costs peak, not correctness).
+    # rangesweep_min stays conservative (the measured v5e crossover) on
+    # unmeasured parts: below it the route merely falls back to XLA.
+    "v5p": RoutingParameters(rangesweep_min=1 << 28),
+    "v6e": RoutingParameters(rangesweep_min=1 << 28),
+    "v4": RoutingParameters(rangesweep_min=1 << 28),
 }
 
 

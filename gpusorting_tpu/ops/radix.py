@@ -90,40 +90,38 @@ def _auto_tile(codes, variant: str, tile_rows: int | None) -> int | None:
 
 
 def is_native() -> bool:
-    """True when the AUTO backend would run sorts in native Pallas kernels.
+    """True when AUTO's flagship route runs through a native Pallas stage.
 
-    Round-3 hardware status (v5e): AUTO still resolves to XLA, now with a
-    measured CONVERGENCE argument rather than an open gap
-    (probes/PROBES.md round 3, benches/RESULTS.md):
+    Round-4 status (v5e): TRUE — AUTO's keys-only route at/above
+    `RoutingParameters.rangesweep_min` is the rangesweep engine
+    (ops/rangesweep.py): exact-splitter range exchange whose hot
+    exchange stage is the native Pallas DMA relocate kernel.  Measured
+    441.4 ms at 2^28 vs the flat XLA sort's 469.7 in the same process —
+    the first composition to BEAT the oracle (campaign:
+    docs/COST_SHEETS.md Sheet 3, benches/RESULTS.md round-4 section).
 
-    - XLA's flat 2^28 sort (468 ms) already implements the optimal
-      structure for this part — VMEM-resident 2^24 chunk sorts (13 ms
-      each) + bitonic merge passes — at per-stage kernel rates ~2-3x
-      better than any Pallas comparator stage here can reach (the roll-mix
-      VPU floor: a lex compare-exchange is ~8-12 ops/elem at ~1000 Gop/s).
-      The round-3 mergesweep engine rebuilds that structure natively
-      (mapped phase 1 at 208 ms + optimized 2x-faster merge tails) and
-      lands at 743 ms: every feasible hybrid converges to >= XLA.
-    - Radix/distribution passes need a data-dependent permutation whose
-      measured floor is >=30 VPU-ops/elem/bucket; probe13 re-probed every
-      Mosaic escape hatch (i8 bitcast planes: interleaved layout kills
-      free extraction; i16/i32 matmuls, sub-row DMA: still crash) — a
-      B=16 partition cannot go below ~6 ms/2^24-equiv, so one/two-level
-      splitter or MSD compositions land 470-620 ms at 2^28
-      (term-by-term accounting: docs/COST_SHEETS.md Sheet 2, every term
-      a committed measurement).  The round-4 range-exchange composition
-      (ops/rangesweep.py) sidesteps the distribution pass via contiguous
-      range DMA and is the measured closest approach — COST_SHEETS.md
-      Sheet 3; AUTO routes to it iff its hardware number crosses 468 ms
-      (RoutingParameters.rangesweep_min).
-    - XLA scatter/gather run at 0.11/0.14 Gelem/s (unusable), closing
-      every counting-sort scheme.
+    The walls the round-3 convergence claim measured still stand for the
+    OTHER engine families — they bound what any fully-in-kernel engine
+    can do on this Mosaic, and are why the winning design moves RANGES
+    (whole rows by DMA) instead of elements:
 
-    Flipping this bool is gated on hardware/backend changes (working
-    sub-row DMA, 16-bit matmul operands, or a SparseCore gather), not on
-    further engine work this backend can express.
+    - Comparator compositions: mergesweep rebuilds XLA's own
+      chunk+merge structure natively and lands at 743 ms (Sheet 1); the
+      Pallas comparator per-stage floor is ~2-3x XLA's internal merge.
+    - Distribution compositions: a B=16 partition pass cannot go below
+      ~6 ms/2^24-equiv (probe13 — i8 planes byte-interleaved; i16/i32
+      matmuls and sub-row DMA crash), placing splitter/MSD hybrids at
+      470-620 ms (Sheet 2).
+    - XLA element scatter/gather: 0.11/0.14 Gelem/s (unusable); dynamic
+      row gather ~1.2 Gelem/s (r4e); small-shape searchsorted /
+      take_along_axis: 13-26 ms in pipeline position (r4h).  The
+      rangesweep prep avoids all four (one tiny row gather + one tiny
+      batched sort).
     """
-    return False
+    from ..core.config import get_device_info, get_routing_parameters
+
+    return (get_device_info().platform == "tpu"
+            and get_routing_parameters().rangesweep_min is not None)
 
 
 def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "onesweep",

@@ -63,11 +63,12 @@ def _grid_sem():
 
 
 def _default_seg_elems() -> int:
-    """Chunk length: the VMEM-residency edge of XLA's flat sort (shared
-    with mergesweep's phase 1 — same mechanism, same tuner row)."""
+    """Phase-1 chunk length: measured winner 2^23 on v5e (the VMEM-
+    residency edge trades against K^2 exchange bookkeeping; sweep in
+    benches/logs/hw_rangesweep12_r4.log)."""
     from ..core.config import get_routing_parameters
 
-    return get_routing_parameters().mergesweep_seg_elems
+    return get_routing_parameters().rangesweep_seg_elems
 
 
 def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:

@@ -82,3 +82,30 @@ def test_bad_seg_elems():
     x = prng.hybrid_taus_bits(1000, seed=1)
     with pytest.raises(ValueError):
         rangesweep.sort_codes_rangesweep(x, seg_elems=300)
+
+
+def test_auto_route_gate():
+    """The AUTO flagship route is gated on platform AND the measured
+    crossover: on CPU is_native() stays False even with rangesweep_min
+    installed, and AUTO output below the crossover equals the oracle."""
+    from gpusorting_tpu.core import config
+    from gpusorting_tpu.ops import radix
+
+    override = config.RoutingParameters(rangesweep_min=1 << 10)
+    config.set_routing_override(override)
+    try:
+        assert radix.is_native() is False  # platform gate (CPU here)
+        import gpusorting_tpu as gst
+
+        x = prng.hybrid_taus_bits(5000, seed=4)
+        out = np.asarray(gst.sort(x))
+        np.testing.assert_array_equal(out, np.sort(np.asarray(x)))
+    finally:
+        config.clear_routing_override()
+
+
+def test_default_seg_elems_from_routing():
+    from gpusorting_tpu.core import config
+
+    assert (rangesweep._default_seg_elems()
+            == config.get_routing_parameters().rangesweep_seg_elems)
