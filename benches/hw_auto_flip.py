@@ -54,30 +54,39 @@ def main():
                                   (0,))
         return (xor_fold, jnp.sum(o), jnp.sum(o ^ i), o[0], o[-1])
 
-    def dig(fn):
-        return jax.jit(lambda x: digest(fn(x)))
+    # generate the input INSIDE each jit from the (seed, and_count) pair
+    # (deterministic), so no external 1 GB buffer stays live across the
+    # sort — the rig ResourceExhausts well below nominal HBM
+    def dig(fn, f32=False):
+        def run(seed, ac):
+            def g(s):
+                x = prng.hybrid_taus_bits(n, 0, and_count=ac)
+                x = x ^ jnp.uint32(s)
+                return x.view(jnp.float32) if f32 else x
+            return jax.jit(lambda s: digest(fn(g(s))))(seed)
+        return run
 
-    auto_asc = dig(lambda x: gst.sort(x))
-    xla_asc = dig(lambda x: gst.sort(x, backend=gst.Backend.XLA))
     d = gst.Order.DESCENDING
-    auto_desc = dig(lambda x: gst.sort(x, order=d))
-    xla_desc = dig(lambda x: gst.sort(x, order=d,
-                                      backend=gst.Backend.XLA))
-
-    def cmp(tag, f1, f2, x):
-        a = [np.asarray(v) for v in f1(x)]
-        b = [np.asarray(v) for v in f2(x)]
+    pairs_to_cmp = [
+        ("auto_eq_xla_2^28_uniform",
+         dig(lambda x: gst.sort(x)),
+         dig(lambda x: gst.sort(x, backend=gst.Backend.XLA)), 3, 1),
+        ("auto_eq_xla_2^28_e020",
+         dig(lambda x: gst.sort(x)),
+         dig(lambda x: gst.sort(x, backend=gst.Backend.XLA)), 3, 4),
+        ("auto_eq_xla_2^28_desc",
+         dig(lambda x: gst.sort(x, order=d)),
+         dig(lambda x: gst.sort(x, order=d, backend=gst.Backend.XLA)),
+         5, 1),
+        ("auto_eq_xla_2^28_f32",
+         dig(lambda x: gst.sort(x), f32=True),
+         dig(lambda x: gst.sort(x, backend=gst.Backend.XLA), f32=True),
+         7, 1),
+    ]
+    for tag, f1, f2, seed, ac in pairs_to_cmp:
+        a = [np.asarray(v) for v in f1(seed, ac)]
+        b = [np.asarray(v) for v in f2(seed, ac)]
         check(tag, all((u == v).all() for u, v in zip(a, b)))
-
-    for tag, ac in (("uniform", 1), ("e020", 4)):
-        x = prng.hybrid_taus_bits(n, seed=3, and_count=ac)
-        cmp(f"auto_eq_xla_2^28_{tag}", auto_asc, xla_asc, x)
-        del x
-    x = prng.hybrid_taus_bits(n, seed=5)
-    cmp("auto_eq_xla_2^28_desc", auto_desc, xla_desc, x)
-    del x
-    xf = prng.make_test_keys(n, 7, jnp.float32)
-    cmp("auto_eq_xla_2^28_f32", auto_asc, xla_asc, xf)
     return 0
 
 
