@@ -377,6 +377,14 @@ class RoutingParameters:
     # the potential win exceeds the peek cost
     entropy_tile_rows: int = 512
     entropy_peek_min: int = 1 << 22
+    # multi-class segsort gate: the per-class extract/sort/expand route
+    # runs only when the extracted (non-bulk) mass fraction is at most
+    # this — extraction costs ~6 whole-array passes, so majority-
+    # extraction workloads measured SLOWER than the fused composite
+    # (0.65x at uniform-random maxlen 32768) while minority-extraction
+    # (bimodal) measured 3.4x (benches/logs/hw_r4_validation.log;
+    # RESULTS.md round-4 segsort section)
+    segsort_extract_max_frac: float = 0.5
     # smallest keys-only n AUTO routes through the rangesweep engine
     # (ops/rangesweep.py) instead of the flat XLA sort; None disables the
     # route.  Set per generation by hardware measurement ONLY (the

@@ -332,9 +332,16 @@ def _window_dispatch(seg_offsets, total: int, seg_count: int,
 
     # generalized multi-class dispatch (VERDICT r4 item 2 — the executed
     # 14-bin form): built when the whole-workload window ladder cannot run
-    # in this mode and the measured bimodal split didn't qualify; serves
-    # the pairs maxlen (16384, 131072] band (and giant-segment mixes) that
-    # used to fall to the ~0.5 G composite
+    # in this mode and the measured bimodal split didn't qualify.
+    # MEASURED GATE (round-4 hardware, benches/logs/hw_r4_validation.log):
+    # extraction pays ~6 whole-array passes (mask/compact/expand each way
+    # + merge), so per-class routing wins only when the extracted mass is
+    # the MINORITY — at uniform-random maxlen 32768 (extracted ~95%) it
+    # ran 0.65x the composite, while the bimodal split (extracted ~2%)
+    # measured 3.4x.  The movement floor (~4 passes + padded sorts at the
+    # measured 1.2-1.3 G window rates) caps the uniform-random band's
+    # possible win at ~1.4x, so the composite stays the honest route
+    # there (the wall is recorded in RESULTS.md round-4 segsort section).
     if "split" not in plan:
         whole_infeasible = ("ml" not in plan or _pick_window_mode(
             plan["ml"], plan["sid_bits"], bits_to_sort, has_payload)
@@ -343,7 +350,14 @@ def _window_dispatch(seg_offsets, total: int, seg_count: int,
             cp = _build_class_plan(starts, lens, total, bits_to_sort,
                                    has_payload)
             if cp is not None:
-                plan["classes"] = cp
+                from ..core.config import get_routing_parameters
+
+                extracted = (sum(c["k"] for c in cp["padded"])
+                             + (cp["tail"]["k"] if cp["tail"] else 0))
+                frac = extracted / max(total, 1)
+                if frac <= get_routing_parameters(
+                        ).segsort_extract_max_frac:
+                    plan["classes"] = cp
     return plan or None
 
 
