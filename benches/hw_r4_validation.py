@@ -106,6 +106,10 @@ def sec_entropy(n=1 << 24):
     through THIS tunnel, ~us on a local attachment) — per-call overhead a
     wall-clock A/B here would mis-attribute, which is why the route is
     gated on entropy_peek_min and validated decomposed."""
+    # the route defaults OFF since the r4 A/B (hw_entropy_ab_r4.log);
+    # install a routed tile so the DECISION machinery stays testable
+    config.set_routing_override(gst.RoutingParameters(
+        entropy_tile_rows=512))
     r = config.get_routing_parameters()
     prod_tile = config.get_tuning_parameters().radix_tile_rows
 
@@ -144,6 +148,7 @@ def sec_entropy(n=1 << 24):
             res_u_prod["seconds_per_sort"]
             <= res_u_small["seconds_per_sort"] * 1.02,
     })
+    config.clear_routing_override()
 
 
 def sec_u64(n=(1 << 20) + 12345):

@@ -15,8 +15,10 @@ Variant map (reference README.md:5-15 families -> engines):
                                 (`mergesweep.py`, round 3)
 
 All engines sort the same u32 codes and are bit-exact with the XLA oracle,
-including stable pairs.  Round-2 measurements and the reasons AUTO still
-resolves to XLA live in `is_native()` below and docs/ROADMAP_perf.md.
+including stable pairs.  The flagship AUTO route (keys-only,
+n >= RoutingParameters.rangesweep_min) is `ops/rangesweep.py` — the
+round-4 engine that beats the oracle; `is_native()` below and
+docs/COST_SHEETS.md carry the measured story.
 """
 
 from __future__ import annotations
@@ -64,7 +66,10 @@ def _entropy_tile_hint(codes) -> int | None:
 
     r = get_routing_parameters()
     n = codes.shape[0]
-    if n < r.entropy_peek_min:
+    # no routed tile configured (the round-4 measured default: tile 512
+    # did NOT beat 2048 on E020 — hw_entropy_ab_r4.log): skip the peek
+    # entirely, it would cost a host fetch for nothing
+    if r.entropy_tile_rows is None or n < r.entropy_peek_min:
         return None
     try:
         sample = np.asarray(codes[:: max(1, n // 2048)])

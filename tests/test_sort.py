@@ -180,27 +180,37 @@ def test_ffx_pipeline_exact():
 
 
 def test_entropy_tile_hint_detector():
-    """Skewed digit distributions get the measured small-tile override;
-    uniform keeps the tuner default; jit tracers skip the peek."""
+    """The skew DETECTOR routes correctly when a tile is configured;
+    the measured DEFAULT is off (tile 512 ran 0.86x tile 2048 on E020 in
+    the round-4 A/B — hw_entropy_ab_r4.log), so the stock hint is None
+    and the peek is skipped entirely; jit tracers skip the peek too."""
     import jax
+    import gpusorting_tpu as gst
     from gpusorting_tpu.core import config as cfg, prng
     from gpusorting_tpu.ops import radix
 
     n = cfg.get_routing_parameters().entropy_peek_min
     uniform = prng.hybrid_taus_bits(n, seed=1)
     skewed = prng.hybrid_taus_bits(n, seed=2, and_count=4)  # E020
-    assert radix._entropy_tile_hint(uniform) is None
-    assert radix._entropy_tile_hint(skewed) == \
-        cfg.get_routing_parameters().entropy_tile_rows
-    # below the peek threshold: no fetch, no override
-    assert radix._entropy_tile_hint(skewed[: n // 2]) is None
-    # explicit tile always wins; non-tiled variants never peek
-    assert radix._auto_tile(skewed, "device_radix", 1024) == 1024
-    assert radix._auto_tile(skewed, "onesweep", None) is None
+    # measured default: route off, no peek
+    assert cfg.get_routing_parameters().entropy_tile_rows is None
+    assert radix._entropy_tile_hint(skewed) is None
 
-    # traced input: the peek degrades to the static default, silently
-    def f(x):
-        return radix._auto_tile(x, "device_radix", None)
+    cfg.set_routing_override(gst.RoutingParameters(entropy_tile_rows=512))
+    try:
+        assert radix._entropy_tile_hint(uniform) is None
+        assert radix._entropy_tile_hint(skewed) == 512
+        # below the peek threshold: no fetch, no override
+        assert radix._entropy_tile_hint(skewed[: n // 2]) is None
+        # explicit tile always wins; non-tiled variants never peek
+        assert radix._auto_tile(skewed, "device_radix", 1024) == 1024
+        assert radix._auto_tile(skewed, "onesweep", None) is None
 
-    assert jax.jit(f, static_argnums=())(skewed) is None \
-        or jax.eval_shape(f, skewed) is None
+        # traced input: the peek degrades to the static default, silently
+        def f(x):
+            return radix._auto_tile(x, "device_radix", None)
+
+        assert jax.jit(f, static_argnums=())(skewed) is None \
+            or jax.eval_shape(f, skewed) is None
+    finally:
+        cfg.clear_routing_override()
