@@ -80,7 +80,11 @@ def cmd_info(args) -> int:
         mode.value: dataclasses.asdict(gst.get_tuning_parameters(info, mode))
         for mode in (gst.Mode.KEYS_ONLY, gst.Mode.PAIRS)
     }
-    print(json.dumps({"device": dataclasses.asdict(info), "tuning": rows},
+    from gpusorting_tpu.core.config import get_routing_parameters
+
+    routing = dataclasses.asdict(get_routing_parameters(info))
+    print(json.dumps({"device": dataclasses.asdict(info), "tuning": rows,
+                      "routing": routing},
                      indent=None if args.json else 2))
     return 0
 
