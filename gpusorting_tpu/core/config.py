@@ -399,6 +399,19 @@ class RoutingParameters:
     # rangesweep phase-1 chunk length (measured winner: 2^23 on v5e —
     # 441.4 ms vs XLA's 469.7 at 2^28, benches/logs/hw_rangesweep12_r4.log)
     rangesweep_seg_elems: int = 1 << 23
+    # smallest STABLE-PAIRS n AUTO routes through the pairs rangesweep
+    # (ops/rangesweep.sort_pairs_rangesweep — index-plane 2-key form);
+    # None disables.  The pairs crossover sits BELOW the keys one on v5e
+    # because the flat oracle's 3-operand working set spills much
+    # earlier (2^28 flat stable pairs: 1308.5 ms vs keys' 469.7 —
+    # benches/logs/hw_pairs_probe_r4.log); set per generation by
+    # hardware measurement only (benches/hw_pairs_rangesweep.py).
+    rangesweep_min_pairs: int | None = None
+    # pairs phase-1 chunk length: the 3-operand working set moves the
+    # VMEM-residency edge a notch below the keys 2^23 (mapped 3-op 2-key
+    # at 2^28: seg 2^22 = 534.8 ms vs seg 2^23 = 814.5 —
+    # hw_pairs_probe_r4.log)
+    rangesweep_seg_elems_pairs: int = 1 << 22
     measured: bool = False
 
 

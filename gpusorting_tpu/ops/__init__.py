@@ -199,4 +199,30 @@ def sort_pairs(
 
         return radix.sort_pairs(keys, values, order=order, variant=variant,
                                 tile_rows=tile_rows)
+    if backend == Backend.AUTO:
+        # measured AUTO route (round 4j): large stable pair sorts run the
+        # pairs rangesweep — the flat oracle's 3-operand working set
+        # spills far earlier than keys-only (1308.5 vs 469.7 ms at 2^28
+        # on v5e), so the mapped-chunk engine's edge is larger here;
+        # 64-bit payloads keep the oracle (the 4-plane form is unmeasured)
+        from ..core import codec
+        from ..core.config import get_device_info, get_routing_parameters
+
+        routing = get_routing_parameters()
+        bits = codec.payload_to_bits(values)
+        if (routing.rangesweep_min_pairs is not None
+                and keys.shape[0] >= routing.rangesweep_min_pairs
+                and bits.dtype != jnp.uint64
+                and get_device_info().platform == "tpu"):
+            from . import rangesweep
+
+            sc, sb = rangesweep.sort_pairs_rangesweep(
+                codec.encode_keys(keys), bits,
+                seg_elems=routing.rangesweep_seg_elems_pairs)
+            out_k = codec.decode_keys(sc, codec.key_type_of(keys))
+            out_v = codec.bits_to_payload(sb, values.dtype)
+            if order == Order.DESCENDING:
+                out_k = jnp.flip(out_k, axis=0)
+                out_v = jnp.flip(out_v, axis=0)
+            return out_k, out_v
     return xla_sort.sort_pairs(keys, values, order=order)

@@ -37,8 +37,10 @@ headline benchmark.
 Placement order inside a bucket is irrelevant — step 4 re-sorts the bucket;
 steps 2-3 only need to deliver the exact multiset, which they do.
 
-Keys-only by design (step 2's count-split of equal runs breaks pair
-stability); pairs keep their measured engines (ops/radix.py).
+The count-split of equal runs makes the KEYS form unstable-only; the
+PAIRS form (`sort_pairs_rangesweep`, round 4j) restores exact stability
+by riding a u32 original-index plane and sorting phases 1/3 by the
+unique composite (code, index) — see its docstring for the proof sketch.
 """
 
 from __future__ import annotations
@@ -211,11 +213,15 @@ def _build_relocate(rows_out: int, K: int, l_rows: int,
     return call
 
 
-def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
+def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
                     interpret: bool,
-                    method: str = "dma") -> jnp.ndarray:
+                    method: str = "dma") -> tuple:
     """Move each (chunk i, bucket b) contiguous range into bucket b's
-    dense L-element region.  The <=254-element range-edge fringes are
+    dense L-element region, for every u32 plane in `planes` (1 for keys,
+    3 for the pairs pipeline: codes + index + payload — the control plan
+    is computed ONCE from the key bounds and reused per plane; the
+    relocate kernel build is shape-cached so extra planes reuse the same
+    compiled kernel).  The <=254-element range-edge fringes are
     gathered DENSELY into one slab per bucket (one small XLA gather);
     bulk*128 + fringes == L, so the slab is the exact row-aligned fill
     after the bucket's packed bulk rows.
@@ -232,7 +238,8 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
     ~40 us PER dynamic-descriptor DMA and there are K^2 of them, so the
     gather form wins (hw_rangesweep5/6 logs).
 
-    Returns flat (N,) u32: K dense buckets of exactly L elements.
+    Returns a tuple of flat (N,) u32 arrays: K dense buckets of exactly
+    L elements per plane, all planes moved by the identical plan.
     """
     N = K * L
     rows_total = N // LANES
@@ -270,12 +277,13 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
     fr_bi = (front + back).T                                   # (b,i)
     foff_bi = jnp.cumsum(fr_bi, axis=1) - fr_bi                # excl, (b,i)
 
-    x2d = x.reshape(rows_total, LANES)
     row_f = jnp.clip(a0.T - 1, 0, rows_total - 1)              # (b,i)
     row_b = jnp.clip(a1.T, 0, rows_total - 1)
     pair_rows = jnp.stack([row_f, row_b], axis=-1).reshape(-1)  # (2KK,)
-    pairs = jnp.take(x2d, pair_rows, axis=0).reshape(
-        K, K, 2 * LANES)                                       # (b,i,256)
+    pairs_pp = tuple(
+        jnp.take(p.reshape(rows_total, LANES), pair_rows, axis=0).reshape(
+            K, K, 2 * LANES)                                   # (b,i,256)
+        for p in planes)
 
     # dense per-bucket slab by ONE tiny batched sort: every valid fringe
     # slot gets its UNIQUE dense position (foff[b,i] + within-piece rank)
@@ -296,12 +304,12 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
         jnp.where((s >= LANES) & (s - LANES < back_bi3),
                   foff_bi[:, :, None] + jb,
                   jnp.int32(2 * K * LANES)))                   # unique pos
-    skey, svals = jax.lax.sort(
-        (key.reshape(K, slab_rows * LANES),
-         pairs.reshape(K, slab_rows * LANES)),
+    sorted_slab = jax.lax.sort(
+        (key.reshape(K, slab_rows * LANES),)
+        + tuple(p.reshape(K, slab_rows * LANES) for p in pairs_pp),
         dimension=1, num_keys=1)
-    del skey
-    fringe = svals.reshape(K * slab_rows, LANES)
+    fringes = tuple(s.reshape(K * slab_rows, LANES)
+                    for s in sorted_slab[1:])
 
     if method == "gather":
         # out row q of bucket b: bulk rows pull from chunk
@@ -320,15 +328,17 @@ def _range_exchange(x: jnp.ndarray, bounds: jnp.ndarray, K: int, L: int,
                      + slab_rows * jnp.arange(K, dtype=jnp.int32)[:, None]
                      - bulk_rows_b[:, None])
         g = jnp.where(is_slab, slab_base + q, src_bulk).reshape(-1)
-        src2 = jnp.concatenate(
-            [x.reshape(rows_total, LANES), fringe], axis=0)
-        return jnp.take(src2, g, axis=0).reshape(-1)
+        return tuple(
+            jnp.take(jnp.concatenate(
+                [p.reshape(rows_total, LANES), f], axis=0),
+                g, axis=0).reshape(-1)
+            for p, f in zip(planes, fringes))
 
-    out2 = _build_relocate(rows_total, K, l_rows, slab_rows,
-                           interpret)(
-        ctrl, x.reshape(rows_total, LANES).view(jnp.int32),
-        fringe.view(jnp.int32))
-    return out2.view(jnp.uint32).reshape(-1)
+    reloc = _build_relocate(rows_total, K, l_rows, slab_rows, interpret)
+    return tuple(
+        reloc(ctrl, p.reshape(rows_total, LANES).view(jnp.int32),
+              f.view(jnp.int32)).view(jnp.uint32).reshape(-1)
+        for p, f in zip(planes, fringes))
 
 
 def sort_codes_rangesweep(codes: jnp.ndarray,
@@ -366,9 +376,75 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
                      x.reshape(K, L))
     # phase 2: exact cuts + range exchange (dense buckets, flat (N,))
     bounds = _exact_cuts(x2, K, L)
-    out = _range_exchange(x2.reshape(-1), bounds, K, L, interpret,
-                          method=method)
+    (out,) = _range_exchange((x2.reshape(-1),), bounds, K, L, interpret,
+                             method=method)
     # phase 3: mapped dense-bucket sorts — the same shape as phase 1
     res = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
                       out.reshape(K, L))
     return res.reshape(-1)[:n]
+
+
+def sort_pairs_rangesweep(codes: jnp.ndarray, bits: jnp.ndarray,
+                          seg_elems: int | None = None,
+                          interpret: bool | None = None,
+                          method: str = "dma"):
+    """STABLE (codes, payload-bits) pair sort via the range exchange;
+    bit-exact with `jax.lax.sort((codes, bits), num_keys=1,
+    is_stable=True)`.
+
+    Keys-only rangesweep splits straddling equal-value runs BY COUNT,
+    which is only legal when equal elements are interchangeable.  The
+    pairs form makes every placement decision deterministic instead: a
+    u32 original-index plane rides through the pipeline and phases 1/3
+    sort by the UNIQUE composite (code, index) — `num_keys=2`, unstable,
+    which equals the stable single-key sort by construction.  Bucket
+    assignment is exact because the count-split takes each straddling
+    run's elements in CHUNK order and, within a chunk, the run's prefix
+    (phase-1 orders equal codes by ascending index): chunk order x
+    in-chunk index order IS global index order, so every bucket receives
+    precisely the elements of (code, index)-rank [b*L, (b+1)*L) and the
+    phase-3 two-key sort reconstructs the exact stable permutation —
+    entry order inside the exchanged bucket (bulk rows then fringe slab)
+    never matters.  Pads carry sentinel codes AND the largest indices
+    (iota over the padded length), so they sort strictly last even when
+    real 0xFFFFFFFF keys collide with the sentinel.
+
+    Reference role: the pair-sort headline of the OneSweep family
+    (OneSweep.cu pairs dispatch; GPUSortBase.h payload surface) — here
+    the win comes from the same VMEM-residency edge as the keys engine,
+    which is LARGER for pairs because the flat oracle's 3-operand
+    working set spills earlier (measured: benches/hw_pairs_probe.py,
+    docs/COST_SHEETS.md Sheet 3 round-4j addendum).
+    """
+    if method not in ("gather", "dma"):
+        raise ValueError(f"unknown method {method!r}")
+    if interpret is None:
+        interpret = not _is_tpu()
+    n = codes.shape[0]
+    L = seg_elems or _default_seg_elems()
+    if L % LANES:
+        raise ValueError(f"seg_elems must be a multiple of {LANES}, got {L}")
+    if n <= L:
+        return jax.lax.sort((codes, bits), num_keys=1, is_stable=True)
+    K = -(-n // L)
+    N = K * L
+    k = codes
+    v = bits
+    if N != n:
+        k = jnp.concatenate([k, jnp.full((N - n,), _SENTINEL, jnp.uint32)])
+        v = jnp.concatenate([v, jnp.zeros((N - n,), jnp.uint32)])
+    idx = jax.lax.iota(jnp.uint32, N)
+
+    sort2 = lambda t: jax.lax.sort(t, num_keys=2, is_stable=False)
+    # phase 1: mapped VMEM-resident (code, index, payload) chunk sorts
+    k2, i2, v2 = jax.lax.map(
+        sort2, (k.reshape(K, L), idx.reshape(K, L), v.reshape(K, L)))
+    # phase 2: exact cuts from the key plane; one plan moves all planes
+    bounds = _exact_cuts(k2, K, L)
+    ko, io, vo = _range_exchange(
+        (k2.reshape(-1), i2.reshape(-1), v2.reshape(-1)),
+        bounds, K, L, interpret, method=method)
+    # phase 3: mapped two-key bucket sorts reconstruct the stable order
+    k3, _, v3 = jax.lax.map(
+        sort2, (ko.reshape(K, L), io.reshape(K, L), vo.reshape(K, L)))
+    return k3.reshape(-1)[:n], v3.reshape(-1)[:n]

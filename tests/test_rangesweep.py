@@ -84,6 +84,58 @@ def test_bad_seg_elems():
         rangesweep.sort_codes_rangesweep(x, seg_elems=300)
 
 
+def _stable_oracle(k, v):
+    return jax.lax.sort((k, v), num_keys=1, is_stable=True)
+
+
+@pytest.mark.parametrize("method", ["gather", "dma"])
+@pytest.mark.parametrize("n,L,and_count", [
+    (1000, 2048, 0),     # single chunk: passthrough stable flat sort
+    (2048, 256, 0),      # K=8, exact multiple
+    (5000, 512, 4),      # padded tail + heavy duplicates (stability bites)
+    (33_000, 1024, 6),   # K=33, extreme duplication: long straddling runs
+])
+def test_pairs_stable_oracle(n, L, and_count, method):
+    k = prng.hybrid_taus_bits(n, seed=n % 89, and_count=and_count)
+    v = prng.hybrid_taus_bits(n, seed=(n % 89) + 1)
+    ok, ov = rangesweep.sort_pairs_rangesweep(k, v, seg_elems=L,
+                                              method=method)
+    ek, ev = _stable_oracle(k, v)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ev))
+
+
+@pytest.mark.parametrize("method", ["gather", "dma"])
+def test_pairs_adversarial_stability(method):
+    # the count-split's stability proof is exercised hardest when ONE
+    # value straddles every bucket (all-equal) and when real keys
+    # collide with the pad sentinel
+    n, L = 6000, 512
+    v = jnp.arange(n, dtype=jnp.uint32)
+    for k in (jnp.full((n,), 7, jnp.uint32),
+              jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+              jnp.where(jnp.arange(n) % 3 == 0,
+                        jnp.uint32(0xFFFFFFFF),
+                        jnp.uint32(42)),
+              prng.hybrid_taus_bits(n, seed=5, and_count=5)):
+        ok, ov = rangesweep.sort_pairs_rangesweep(k, v, seg_elems=L,
+                                                  method=method)
+        ek, ev = _stable_oracle(k, v)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+        np.testing.assert_array_equal(np.asarray(ov), np.asarray(ev))
+
+
+def test_pairs_jit_safe():
+    n, L = 4096, 512
+    k = prng.hybrid_taus_bits(n, seed=3, and_count=4)
+    v = prng.hybrid_taus_bits(n, seed=4)
+    ok, ov = jax.jit(lambda a, b: rangesweep.sort_pairs_rangesweep(
+        a, b, seg_elems=L))(k, v)
+    ek, ev = _stable_oracle(k, v)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(ov), np.asarray(ev))
+
+
 def test_auto_route_gate():
     """The AUTO flagship route is gated on platform AND the measured
     crossover: on CPU is_native() stays False even with rangesweep_min
@@ -109,3 +161,26 @@ def test_default_seg_elems_from_routing():
 
     assert (rangesweep._default_seg_elems()
             == config.get_routing_parameters().rangesweep_seg_elems)
+
+
+def test_pairs_auto_route_gate():
+    """The AUTO pairs route is gated on platform + measured crossover:
+    on CPU it must stay the stable oracle even with rangesweep_min_pairs
+    installed, and output equality holds either way.  f32 payloads ride
+    by bit pattern."""
+    from gpusorting_tpu.core import config
+    from gpusorting_tpu import ops
+
+    override = config.RoutingParameters(rangesweep_min_pairs=1 << 10)
+    config.set_routing_override(override)
+    try:
+        k = prng.hybrid_taus_bits(5000, seed=6, and_count=4)
+        v = prng.hybrid_taus_bits(5000, seed=7).view(jnp.float32)
+        ok, ov = ops.sort_pairs(k, v)
+        ek, ev = jax.lax.sort((k, v.view(jnp.uint32)), num_keys=1,
+                              is_stable=True)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+        np.testing.assert_array_equal(np.asarray(ov).view(np.uint32),
+                                      np.asarray(ev))
+    finally:
+        config.clear_routing_override()
