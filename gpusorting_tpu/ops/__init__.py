@@ -1,8 +1,11 @@
 """Public sort ops with backend dispatch.
 
-`backend=AUTO` resolves to the Pallas TPU kernels on TPU and the XLA path
-elsewhere.  Every backend sorts the same uint32 key codes (core.codec), so
-outputs are bit-exact across backends.
+`backend=AUTO` runs the fastest measured engine for the platform and size:
+on TPU, sorts at/above the generation's measured rangesweep crossover run
+the native range-exchange engine (ops/rangesweep.py); everything else runs
+the flat XLA sort.  The one routing decision is `core.config.auto_engine`.
+Every backend sorts the same uint32 key codes (core.codec), so outputs are
+bit-exact across backends.
 """
 
 from __future__ import annotations
@@ -10,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..core.config import Backend, Order, get_device_info
+from ..core.config import Backend, Mode, Order, auto_engine, get_device_info
 from . import xla_sort
 
 
@@ -25,9 +28,11 @@ def _check_lengths(keys, *others):
 
 
 def _resolve(backend: Backend) -> Backend:
+    """Explicit-dispatch family for non-size-aware entry points: AUTO's
+    size-dependent rangesweep route is applied by sort/sort_pairs via
+    `auto_engine`; everything else AUTO falls to XLA, and PALLAS stays
+    the explicit native-variant opt-in (ops/radix.py)."""
     if backend == Backend.AUTO:
-        # XLA still wins at flagship sizes on this part; PALLAS is the
-        # explicit native-network opt-in (ops/radix.py docstring).
         return Backend.XLA
     return backend
 
@@ -58,25 +63,21 @@ def sort(
 
         return radix.sort(keys, order=order, variant=variant,
                           tile_rows=tile_rows)
-    if backend == Backend.AUTO:
+    if (backend == Backend.AUTO
+            and auto_engine(keys.shape[0]) == "rangesweep"):
         # measured AUTO route: keys-only sorts at/above the generation's
         # rangesweep crossover run the range-exchange engine (Pallas DMA
         # exchange over mapped chunk sorts); explicit backend=XLA stays
         # the pure oracle
-        from ..core.config import get_device_info, get_routing_parameters
+        from ..core import codec
+        from . import rangesweep
 
-        rmin = get_routing_parameters().rangesweep_min
-        if (rmin is not None and keys.shape[0] >= rmin
-                and get_device_info().platform == "tpu"):
-            from ..core import codec
-            from . import rangesweep
-
-            out = codec.decode_keys(
-                rangesweep.sort_codes_rangesweep(codec.encode_keys(keys)),
-                codec.key_type_of(keys))
-            if order == Order.DESCENDING:
-                out = jnp.flip(out, axis=0)
-            return out
+        out = codec.decode_keys(
+            rangesweep.sort_codes_rangesweep(codec.encode_keys(keys)),
+            codec.key_type_of(keys))
+        if order == Order.DESCENDING:
+            out = jnp.flip(out, axis=0)
+        return out
     return xla_sort.sort_keys(keys, order=order)
 
 
@@ -103,6 +104,25 @@ def sort_pairs_wide(
 
         return radix.sort_pairs_wide(keys, lo, hi, order=order,
                                      variant=variant, tile_rows=tile_rows)
+    if (backend == Backend.AUTO
+            and auto_engine(keys.shape[0], Mode.PAIRS,
+                            payload_bits=64) == "rangesweep"):
+        # measured AUTO route: the 4-plane pairs rangesweep moves the
+        # already-split (lo, hi) planes directly (no u64 pack round-trip)
+        from ..core import codec
+        from ..core.config import get_routing_parameters
+        from . import rangesweep
+
+        sc, slo, shi = rangesweep.sort_pairs_rangesweep_planes(
+            codec.encode_keys(keys),
+            (lo.view(jnp.uint32), hi.view(jnp.uint32)),
+            seg_elems=get_routing_parameters().rangesweep_seg_elems_pairs_wide)
+        out_k = codec.decode_keys(sc, codec.key_type_of(keys))
+        if order == Order.DESCENDING:
+            out_k = jnp.flip(out_k, axis=0)
+            slo = jnp.flip(slo, axis=0)
+            shi = jnp.flip(shi, axis=0)
+        return out_k, slo.view(lo.dtype), shi.view(hi.dtype)
     return xla_sort.sort_pairs_wide(keys, lo, hi, order=order)
 
 
@@ -203,22 +223,18 @@ def sort_pairs(
         # measured AUTO route (round 4j): large stable pair sorts run the
         # pairs rangesweep — the flat oracle's 3-operand working set
         # spills far earlier than keys-only (1308.5 vs 469.7 ms at 2^28
-        # on v5e), so the mapped-chunk engine's edge is larger here;
-        # 64-bit payloads keep the oracle (the 4-plane form is unmeasured)
+        # on v5e), so the mapped-chunk engine's edge is larger here; the
+        # 64-bit-payload (4-plane) form routes by its own threshold
         from ..core import codec
-        from ..core.config import get_device_info, get_routing_parameters
 
-        routing = get_routing_parameters()
         bits = codec.payload_to_bits(values)
-        if (routing.rangesweep_min_pairs is not None
-                and keys.shape[0] >= routing.rangesweep_min_pairs
-                and bits.dtype != jnp.uint64
-                and get_device_info().platform == "tpu"):
+        pbits = 64 if bits.dtype == jnp.uint64 else 32
+        if auto_engine(keys.shape[0], Mode.PAIRS,
+                       payload_bits=pbits) == "rangesweep":
             from . import rangesweep
 
             sc, sb = rangesweep.sort_pairs_rangesweep(
-                codec.encode_keys(keys), bits,
-                seg_elems=routing.rangesweep_seg_elems_pairs)
+                codec.encode_keys(keys), bits)
             out_k = codec.decode_keys(sc, codec.key_type_of(keys))
             out_v = codec.bits_to_payload(sb, values.dtype)
             if order == Order.DESCENDING:

@@ -2,8 +2,13 @@
 
 Variant map (reference README.md:5-15 families -> engines):
   "onesweep"/"forward_sweep" -> Batcher network (`bitonic.py`), the
-      skew-immune default of the PALLAS backend (will switch to a radix
-      engine once one beats XLA at the flagship size)
+      skew-immune default of the PALLAS backend (kept as the default
+      because it is the only variant whose cost is provably input- and
+      distribution-independent; the fused radix engine is "radix16")
+  "radix16"                  -> the fused single-binning-pass LSD pipeline
+                                (`radix16.py`) — the OneSweep
+                                DigitBinningPass analog, first-class
+                                (VERDICT r4 next #7)
   "device_radix"             -> 3-phase reduce-then-scan (`rts.py`)
   "ffx"                      -> 5-stage Count/Reduce/Scan/ScanAdd/Scatter
                                 pipeline at fixed tuning (`ffx.py`)
@@ -37,7 +42,8 @@ from . import bitonic, xla_sort
 _ENTROPY_ROUTE = _os.environ.get("GST_ENTROPY_ROUTE", "1") == "1"
 # variants whose engines consume the radix tile (and carry the
 # tile-occupancy skip the small tile exploits)
-_TILED_VARIANTS = ("device_radix", "splitsweep", "emulated_deadlocking")
+_TILED_VARIANTS = ("device_radix", "radix16", "splitsweep",
+                   "emulated_deadlocking")
 
 
 def _entropy_tile_hint(codes) -> int | None:
@@ -133,10 +139,11 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
          tile_rows: int | None = None):
     """Native-path typed key sort (keys-only; radix order on codes).
 
-    variant "device_radix" selects the native LSD radix-16 engine
-    (ops/radix16.py — the reduce-then-scan / OneSweep-equivalent pipeline,
-    runs under interpret mode off-TPU); "splitsweep" selects the hybrid;
-    other variants use the sorting network.
+    variant "radix16" selects the fused single-binning-pass LSD engine
+    (ops/radix16.py — the OneSweep DigitBinningPass analog; runs under
+    interpret mode off-TPU); "device_radix" the 3-phase reduce-then-scan
+    pipeline (ops/rts.py); "splitsweep" the hybrid; other variants use
+    the sorting network.
 
     tile_rows overrides the tuner's radix tile for the engines that take
     one (device_radix/splitsweep/emulated_deadlocking) — the manual-tuning
@@ -154,6 +161,15 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
         from . import rts
 
         sc = rts.sort_codes_rts(codes, tile_rows=tile_rows)
+    elif variant == "radix16":
+        # the fused single-binning-pass LSD pipeline (OneSweep
+        # DigitBinningPass analog, OneSweep.cu:164-344) — first-class
+        # since round 5 (VERDICT r4 next #7); hardware bit-exact and
+        # boundary-swept at tiles 512 and 2048 (benches/
+        # hw_boundary_tile2048.py)
+        from . import radix16
+
+        sc = radix16.sort_codes_radix16(codes, tile_rows=tile_rows)
     elif variant == "ffx":
         # the REAL FFX pipeline: Count -> CountReduce -> Scan -> ScanAdd ->
         # Scatter, two-level scan hierarchy at fixed tuning (ops/ffx.py;
@@ -206,6 +222,11 @@ def sort_codes_with_rides(codes: jnp.ndarray, rides: tuple, variant: str,
 
         return rts._sort_rts(
             (codes,) + rides, tile_rows or _default_tile_rows(pairs=True))
+    if variant == "radix16":
+        from . import radix16
+
+        tr = tile_rows or radix16._default_tile_rows(pairs=True)
+        return radix16._sort_radix16((codes,) + rides, tr)
     if variant == "splitsweep":
         from . import splitsweep
 

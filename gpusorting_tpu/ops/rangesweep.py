@@ -73,6 +73,19 @@ def _default_seg_elems() -> int:
     return get_routing_parameters().rangesweep_seg_elems
 
 
+def _default_seg_elems_pairs(wide: bool = False) -> int:
+    """Pairs phase-1 chunk length: the 3-operand working set moves the
+    VMEM-residency edge a notch below the keys 2^23 (seg 2^22 = 534.8 ms
+    vs 2^23 = 814.5 at 2^28 — hw_pairs_probe_r4.log); a no-arg pairs call
+    must NOT inherit the keys default, which is a measured loser here
+    (advisor r4).  wide=True returns the 4-plane (64-bit payload) seg."""
+    from ..core.config import get_routing_parameters
+
+    r = get_routing_parameters()
+    return (r.rangesweep_seg_elems_pairs_wide if wide
+            else r.rangesweep_seg_elems_pairs)
+
+
 def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
     """(K, K+1) per-chunk cut positions making bucket b exactly L elements.
 
@@ -217,26 +230,31 @@ def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
                     interpret: bool,
                     method: str = "dma") -> tuple:
     """Move each (chunk i, bucket b) contiguous range into bucket b's
-    dense L-element region, for every u32 plane in `planes` (1 for keys,
-    3 for the pairs pipeline: codes + index + payload — the control plan
-    is computed ONCE from the key bounds and reused per plane; the
-    relocate kernel build is shape-cached so extra planes reuse the same
-    compiled kernel).  The <=254-element range-edge fringes are
+    dense L-element region, for every u32 plane in `planes` (1 for keys;
+    3 for the pairs pipeline: codes + index + payload; 4 for 64-bit
+    payloads: codes + index + lo + hi — the control plan is computed
+    ONCE from the key bounds and reused per plane; the relocate kernel
+    build is shape-cached so extra planes reuse the same compiled
+    kernel).  The <=254-element range-edge fringes are
     gathered DENSELY into one slab per bucket (one small XLA gather);
     bulk*128 + fringes == L, so the slab is the exact row-aligned fill
     after the bucket's packed bulk rows.
 
-    method="gather" (measured default): ONE whole-array XLA row gather —
-    the fringe slabs are appended below the source rows and a
-    device-computed (rows,) map pulls every output row from its bulk or
-    slab source.  13.1 Gelem/s at 2^28 (20.5 ms; 105 GB/s effective —
-    benches/hw_rowgather_probe.py); row gathers are NOT the 0.11 Gelem/s
-    flat-element gather of PROBES.md.
+    method="dma" (the MEASURED DEFAULT): the Pallas relocate — one
+    program per bucket, direct HBM->HBM async copies, each dynamic-length
+    range binary-decomposed into static-size power-of-two copies
+    (hw_dma_bw.py: static-size DMA streams ~250 GB/s; dynamic-size copies
+    take a ~7x slower path).  End-to-end 441.4 ms at 2^28 seg 2^23
+    (hw_rangesweep12_r4.log) — the shipping configuration.
 
-    method="dma": the Pallas relocate (one program per bucket, direct
-    HBM->HBM async copies).  Measured ~55 ms at seg 2^23: the cost is
-    ~40 us PER dynamic-descriptor DMA and there are K^2 of them, so the
-    gather form wins (hw_rangesweep5/6 logs).
+    method="gather" (probe/fallback, measured LOSER): ONE whole-array XLA
+    row gather — fringe slabs appended below the source rows, a
+    device-computed (rows,) map pulls every output row.  The isolated
+    20.5 ms probe number (hw_rowgather_probe.py) was CONSTANT-index
+    specialization; with real dynamic indices the gather runs
+    ~1.2 Gelem/s and the end-to-end measured 630 ms at 2^28
+    (hw_rangesweep7_r4.log, RESULTS.md r4e).  Kept as the
+    structure-isolating probe arm, not a route.
 
     Returns a tuple of flat (N,) u32 arrays: K dense buckets of exactly
     L elements per plane, all planes moved by the identical plan.
@@ -347,8 +365,8 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
                           method: str = "dma") -> jnp.ndarray:
     """Ascending keys-only sort of u32 codes via the range exchange.
 
-    method: "gather" (measured default — one XLA row gather) or "dma"
-    (the Pallas relocate kernel); see `_range_exchange`.
+    method: "dma" (measured default — the Pallas relocate kernel) or
+    "gather" (the measured-loser probe arm); see `_range_exchange`.
     """
     if method not in ("gather", "dma"):
         raise ValueError(f"unknown method {method!r}")
@@ -409,6 +427,13 @@ def sort_pairs_rangesweep(codes: jnp.ndarray, bits: jnp.ndarray,
     (iota over the padded length), so they sort strictly last even when
     real 0xFFFFFFFF keys collide with the sentinel.
 
+    64-BIT PAYLOADS (u64 `bits`) ride as TWO u32 planes (lo, hi) through
+    the identical pipeline — 4 planes total (codes, index, lo, hi), one
+    exchange plan, the same (code, index) 2-key phase sorts (the payload
+    planes are never compared).  Reference surface: SplitSort.cuh:702
+    (double payloads); the reference's CUDA pair sorts move 64-bit
+    payloads the same split-plane way.
+
     Reference role: the pair-sort headline of the OneSweep family
     (OneSweep.cu pairs dispatch; GPUSortBase.h payload surface) — here
     the win comes from the same VMEM-residency edge as the keys engine,
@@ -418,33 +443,64 @@ def sort_pairs_rangesweep(codes: jnp.ndarray, bits: jnp.ndarray,
     """
     if method not in ("gather", "dma"):
         raise ValueError(f"unknown method {method!r}")
+    n = codes.shape[0]
+    wide = bits.dtype == jnp.uint64
+    L = seg_elems or _default_seg_elems_pairs(wide=wide)
+    if n <= L:
+        return jax.lax.sort((codes, bits), num_keys=1, is_stable=True)
+    if wide:
+        lo = (bits & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        hi = (bits >> jnp.uint64(32)).astype(jnp.uint32)
+        k3, slo, shi = sort_pairs_rangesweep_planes(
+            codes, (lo, hi), seg_elems=L, interpret=interpret,
+            method=method)
+        return k3, (slo.astype(jnp.uint64)
+                    | (shi.astype(jnp.uint64) << jnp.uint64(32)))
+    k3, sv = sort_pairs_rangesweep_planes(
+        codes, (bits,), seg_elems=L, interpret=interpret, method=method)
+    return k3, sv
+
+
+def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
+                                 seg_elems: int,
+                                 interpret: bool | None = None,
+                                 method: str = "dma"):
+    """Plane-level core of `sort_pairs_rangesweep`: stable pair sort of
+    u32 codes with 1..2 u32 payload planes moved by the same permutation
+    (2 planes = a 64-bit payload's lo/hi — the direct entry for
+    `ops.sort_pairs_wide`, which already holds split planes).  Returns
+    (sorted_codes, *permuted_planes); bit-exact with the stable oracle
+    moving each plane."""
     if interpret is None:
         interpret = not _is_tpu()
     n = codes.shape[0]
-    L = seg_elems or _default_seg_elems()
+    L = seg_elems
     if L % LANES:
         raise ValueError(f"seg_elems must be a multiple of {LANES}, got {L}")
     if n <= L:
-        return jax.lax.sort((codes, bits), num_keys=1, is_stable=True)
+        out = jax.lax.sort((codes,) + tuple(planes), num_keys=1,
+                           is_stable=True)
+        return out
     K = -(-n // L)
     N = K * L
     k = codes
-    v = bits
     if N != n:
         k = jnp.concatenate([k, jnp.full((N - n,), _SENTINEL, jnp.uint32)])
-        v = jnp.concatenate([v, jnp.zeros((N - n,), jnp.uint32)])
+        planes = tuple(
+            jnp.concatenate([p, jnp.zeros((N - n,), jnp.uint32)])
+            for p in planes)
     idx = jax.lax.iota(jnp.uint32, N)
 
     sort2 = lambda t: jax.lax.sort(t, num_keys=2, is_stable=False)
-    # phase 1: mapped VMEM-resident (code, index, payload) chunk sorts
-    k2, i2, v2 = jax.lax.map(
-        sort2, (k.reshape(K, L), idx.reshape(K, L), v.reshape(K, L)))
+    # phase 1: mapped VMEM-resident (code, index, payload...) chunk sorts
+    p1 = jax.lax.map(
+        sort2, (k.reshape(K, L), idx.reshape(K, L))
+        + tuple(p.reshape(K, L) for p in planes))
     # phase 2: exact cuts from the key plane; one plan moves all planes
-    bounds = _exact_cuts(k2, K, L)
-    ko, io, vo = _range_exchange(
-        (k2.reshape(-1), i2.reshape(-1), v2.reshape(-1)),
-        bounds, K, L, interpret, method=method)
+    bounds = _exact_cuts(p1[0], K, L)
+    ex = _range_exchange(tuple(p.reshape(-1) for p in p1),
+                         bounds, K, L, interpret, method=method)
     # phase 3: mapped two-key bucket sorts reconstruct the stable order
-    k3, _, v3 = jax.lax.map(
-        sort2, (ko.reshape(K, L), io.reshape(K, L), vo.reshape(K, L)))
-    return k3.reshape(-1)[:n], v3.reshape(-1)[:n]
+    p3 = jax.lax.map(sort2, tuple(p.reshape(K, L) for p in ex))
+    return (p3[0].reshape(-1)[:n],) + tuple(
+        p.reshape(-1)[:n] for p in p3[2:])

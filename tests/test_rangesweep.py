@@ -184,3 +184,116 @@ def test_pairs_auto_route_gate():
                                       np.asarray(ev))
     finally:
         config.clear_routing_override()
+
+
+# ---- round 5: 4-plane (64-bit payload) form + routing consolidation -------
+
+
+@pytest.mark.parametrize("method", ["gather", "dma"])
+@pytest.mark.parametrize("n,L,and_count", [
+    (2048, 256, 0),      # K=8, exact multiple
+    (5000, 512, 4),      # padded tail + heavy duplicates
+])
+def test_wide_pairs_planes_oracle(n, L, and_count, method):
+    """4-plane exchange: (codes, idx, lo, hi) through one plan — the
+    engine behind the 64-bit-payload AUTO route (VERDICT r4 next #3)."""
+    k = prng.hybrid_taus_bits(n, seed=n % 83, and_count=and_count)
+    lo = jnp.arange(n, dtype=jnp.uint32)
+    hi = prng.hybrid_taus_bits(n, seed=(n % 83) + 1)
+    ok, olo, ohi = rangesweep.sort_pairs_rangesweep_planes(
+        k, (lo, hi), seg_elems=L, method=method)
+    ek, elo, ehi = jax.lax.sort((k, lo, hi), num_keys=1, is_stable=True)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(olo), np.asarray(elo))
+    np.testing.assert_array_equal(np.asarray(ohi), np.asarray(ehi))
+
+
+def test_wide_pairs_planes_adversarial():
+    n, L = 4096, 512
+    lo = jnp.arange(n, dtype=jnp.uint32)
+    hi = lo ^ jnp.uint32(0xDEADBEEF)
+    for k in (jnp.full((n,), 7, jnp.uint32),
+              jnp.full((n,), 0xFFFFFFFF, jnp.uint32)):
+        ok, olo, ohi = rangesweep.sort_pairs_rangesweep_planes(
+            k, (lo, hi), seg_elems=L)
+        ek, elo, ehi = jax.lax.sort((k, lo, hi), num_keys=1, is_stable=True)
+        np.testing.assert_array_equal(np.asarray(olo), np.asarray(elo))
+        np.testing.assert_array_equal(np.asarray(ohi), np.asarray(ehi))
+
+
+def test_pairs_default_seg_is_pairs_tuned():
+    """A no-arg pairs call must take the PAIRS-measured chunk length, not
+    the keys one (the keys 2^23 is a measured loser for pairs at 2^28 —
+    advisor r4 finding)."""
+    from gpusorting_tpu.core import config
+
+    r = config.get_routing_parameters()
+    assert rangesweep._default_seg_elems_pairs() == r.rangesweep_seg_elems_pairs
+    assert (rangesweep._default_seg_elems_pairs(wide=True)
+            == r.rangesweep_seg_elems_pairs_wide)
+    assert r.rangesweep_seg_elems_pairs != r.rangesweep_seg_elems
+
+
+def test_auto_engine_single_decision():
+    """core.config.auto_engine is THE routing decision (VERDICT r4 weak
+    #4): thresholds gate by mode and payload width; CPU always says xla."""
+    from gpusorting_tpu.core import config
+
+    info_tpu = config.DeviceInfo("tpu", "fake v5e", "v5e", 1, 16 << 30,
+                                 16 << 20, 819.0)
+    info_cpu = config.DeviceInfo("cpu", "cpu", "cpu", 1, 8 << 30,
+                                 16 << 20, 50.0)
+    override = config.RoutingParameters(
+        rangesweep_min=1 << 20, rangesweep_min_pairs=1 << 21,
+        rangesweep_min_pairs_wide=None)
+    config.set_routing_override(override)
+    try:
+        # NOTE: auto_engine(info=...) reads the override only when info is
+        # None in get_routing_parameters; pass info and read the table --
+        # so exercise the override through the info=None path on CPU:
+        assert config.auto_engine(1 << 28) == "xla"  # platform gate (CPU)
+    finally:
+        config.clear_routing_override()
+    # table-path decisions with an explicit TPU info (v5e row:
+    # rangesweep_min = rangesweep_min_pairs = 2^28, wide unset)
+    assert config.auto_engine(1 << 28, info=info_tpu) == "rangesweep"
+    assert config.auto_engine((1 << 28) - 1, info=info_tpu) == "xla"
+    assert config.auto_engine(1 << 28, config.Mode.PAIRS,
+                              info=info_tpu) == "rangesweep"
+    assert config.auto_engine((1 << 28) - 1, config.Mode.PAIRS,
+                              info=info_tpu) == "xla"
+    assert config.auto_engine(1 << 30, config.Mode.PAIRS, payload_bits=64,
+                              info=info_tpu) == "xla"  # wide min unset
+    assert config.auto_engine(1 << 30, info=info_cpu) == "xla"
+
+
+def test_resolve_backend_size_aware():
+    from gpusorting_tpu.core import config
+
+    cfg = config.SortConfig(backend=config.Backend.AUTO)
+    assert cfg.resolve_backend() == config.Backend.XLA  # n-less: family
+    assert cfg.resolve_backend(1 << 28) == config.Backend.XLA  # CPU rig
+    cfg2 = config.SortConfig(backend=config.Backend.PALLAS)
+    assert cfg2.resolve_backend(1) == config.Backend.PALLAS
+
+
+def test_wide_auto_route_gate_cpu():
+    """sort_pairs_wide under AUTO stays the XLA oracle on CPU even with
+    the wide threshold installed (platform gate), and output is exact."""
+    from gpusorting_tpu.core import config
+    from gpusorting_tpu import ops
+
+    override = config.RoutingParameters(rangesweep_min_pairs_wide=1 << 10)
+    config.set_routing_override(override)
+    try:
+        n = 3000
+        k = prng.hybrid_taus_bits(n, seed=21, and_count=3)
+        lo = jnp.arange(n, dtype=jnp.uint32)
+        hi = prng.hybrid_taus_bits(n, seed=22)
+        ok, olo, ohi = ops.sort_pairs_wide(k, lo, hi)
+        ek, elo, ehi = jax.lax.sort((k, lo, hi), num_keys=1, is_stable=True)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+        np.testing.assert_array_equal(np.asarray(olo), np.asarray(elo))
+        np.testing.assert_array_equal(np.asarray(ohi), np.asarray(ehi))
+    finally:
+        config.clear_routing_override()
