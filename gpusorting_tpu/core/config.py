@@ -400,7 +400,12 @@ class RoutingParameters:
     # smallest keys-only n AUTO routes through the rangesweep engine
     # (ops/rangesweep.py) instead of the flat XLA sort; None disables the
     # route.  Set per generation by hardware measurement ONLY (the
-    # flagship crossover; benches/hw_crossover.py).
+    # flagship crossover; benches/hw_crossover.py + hw_r5_campaign1/2 —
+    # the flat oracle pads non-pow2 sorts toward the next power of two,
+    # so everything STRICTLY ABOVE 2^27 routes native on v5e: measured
+    # wins 265.9 vs 270.0 at 2^27+2^20, 285.6 vs 320.0 at 2^27+2^25,
+    # 328.5 vs 372.3 at 3*2^26, 441.4 vs 469.7 at 2^28; pow2 2^27 itself
+    # loses 2% and 3*2^25 loses 5.7%, so the threshold is (1<<27)+1).
     rangesweep_min: int | None = None
     # rangesweep phase-1 chunk length (measured winner: 2^23 on v5e —
     # 441.4 ms vs XLA's 469.7 at 2^28, benches/logs/hw_rangesweep12_r4.log)
@@ -428,33 +433,47 @@ class RoutingParameters:
     rangesweep_min_pairs_wide: int | None = None
     # 4-plane phase-1 chunk length: one notch below the 3-plane 2^22
     # (the same VMEM-residency argument that moved keys 2^23 -> pairs
-    # 2^22); hardware-confirmed before any route is installed.
+    # 2^22); measured at 2^28: mapped 4-op phases 636.7 ms (2^21) vs
+    # 711.8 (2^22) — hw_r5_campaign2.log G rows.
     rangesweep_seg_elems_pairs_wide: int = 1 << 21
+    # smallest ARGSORT n AUTO routes through the 2-plane rangesweep fast
+    # path (ops/rangesweep.argsort_rangesweep — payload == index
+    # collapses the pairs pipeline to two planes); None disables.  Its
+    # flat oracle is the same 2-operand stable sort as 32-bit pairs, but
+    # the native side drops a whole plane from both mapped phases and
+    # the exchange, so the crossover sits at or below the pairs one —
+    # measured only (benches/hw_r5_campaign3.py).
+    rangesweep_min_index: int | None = None
+    # argsort phase-1 chunk length (2-operand working set; mapped rates
+    # at 2^28: seg 2^22 = 392.0 ms vs 2^21 = 367.2, hw_r5_campaign1.log
+    # D — but phase-2 cost grows ~K^2; end-to-end measured default).
+    rangesweep_seg_elems_index: int = 1 << 22
     measured: bool = False
 
 
 _ROUTING_TABLE = {
     # v5e: all values hardware-measured (round-3 campaign; rangesweep
-    # crossover round 4 — keys: wins 441.4 vs 469.7 ms at 2^28, loses
-    # 212.8 vs 208.6 at 2^27 (hw_rangesweep12_r4.log, hw_crossover_r4.log);
-    # pairs: wins 1201.6 vs 1305.5 ms at 2^28 seg 2^22
-    # (hw_pairs_rangesweep_r4.log) — the advisor-r4 finding that this
-    # threshold was never installed is fixed here; 2^27 measured a
-    # statistical tie at seg 2^21 (581.5 vs 583.5, hw_pairs_crossover_r4
-    # .log) so the pairs crossover stays 2^28 pending the round-5 re-
-    # measure (benches/hw_r5_campaign1.py).
-    "v5e": RoutingParameters(rangesweep_min=1 << 28,
+    # crossover rounds 4-5).  KEYS: the flat oracle pads non-pow2 sorts
+    # toward the next pow2, so the crossover is (1<<27)+1 — wins 265.9
+    # vs 270.0 at 2^27+2^20, 285.6 vs 320.0 at 2^27+2^25, 328.5 vs 372.3
+    # at 3*2^26, 441.4 vs 469.7 at 2^28; loses 212.8 vs 208.6 at pow2
+    # 2^27 exactly and 173.3 vs 163.9 at 3*2^25 (hw_rangesweep12_r4,
+    # hw_crossover_r4, hw_r5_campaign1/2 logs).  PAIRS: wins 1201.6 vs
+    # 1305.5 ms at 2^28 seg 2^22 (hw_pairs_rangesweep_r4.log); 2^27 re-
+    # measured a 0.5% tie at seg 2^21 (584.0 vs 586.8, hw_r5_campaign1
+    # A rows) so the pairs crossover stays 2^28.
+    "v5e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                              rangesweep_min_pairs=1 << 28, measured=True),
     # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
     # until hardware is available; v4 likewise (slower HBM shifts the map
     # crossover down if anything, which only costs peak, not correctness).
     # rangesweep_min stays conservative (the measured v5e crossover) on
     # unmeasured parts: below it the route merely falls back to XLA.
-    "v5p": RoutingParameters(rangesweep_min=1 << 28,
+    "v5p": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                              rangesweep_min_pairs=1 << 28),
-    "v6e": RoutingParameters(rangesweep_min=1 << 28,
+    "v6e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                              rangesweep_min_pairs=1 << 28),
-    "v4": RoutingParameters(rangesweep_min=1 << 28,
+    "v4": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                             rangesweep_min_pairs=1 << 28),
 }
 
@@ -518,22 +537,31 @@ def get_tuning_parameters(
 
 def auto_engine(n: int, mode: Mode = Mode.KEYS_ONLY,
                 payload_bits: int = 32,
-                info: DeviceInfo | None = None) -> str:
+                info: DeviceInfo | None = None,
+                index_payload: bool = False) -> str:
     """THE AUTO routing decision (one function — VERDICT r4 weak #4).
 
     Returns "rangesweep" when the measured native route applies, else
-    "xla".  ops.sort / ops.sort_pairs / ops.sort_pairs_wide and
-    SortConfig.resolve_backend all defer here; there is no second copy of
-    this logic.  The route is installed per generation by hardware
-    measurement only (benches/hw_crossover.py, hw_pairs_rangesweep.py);
-    None thresholds disable it.
+    "xla".  ops.sort / ops.sort_pairs / ops.sort_pairs_wide / ops.argsort
+    and SortConfig.resolve_backend all defer here; there is no second
+    copy of this logic.  The route is installed per generation by
+    hardware measurement only (benches/hw_crossover.py,
+    hw_pairs_rangesweep.py, hw_r5_campaign*.py); None thresholds disable
+    it.
+
+    index_payload=True is the argsort special case (payload == iota):
+    the pairs pipeline collapses to two planes, so it routes by its own
+    measured threshold (rangesweep_min_index) instead of the pairs one.
     """
     inf = info or get_device_info()
     if inf.platform != "tpu":
         return "xla"
     r = get_routing_parameters(info)
     if mode == Mode.PAIRS:
-        if payload_bits > 32:
+        if index_payload:
+            # argsort fast path: 2-plane engine, own crossover
+            m = r.rangesweep_min_index
+        elif payload_bits > 32:
             # the 4-plane pairs exchange threshold; None keeps the oracle
             m = r.rangesweep_min_pairs_wide
         else:

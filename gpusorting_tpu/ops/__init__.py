@@ -190,6 +190,28 @@ def argsort(
     returns (sorted_keys, indices) and saves the caller a gather.
     """
     _check_lengths(keys)
+    if (backend == Backend.AUTO
+            and auto_engine(keys.shape[0], Mode.PAIRS,
+                            index_payload=True) == "rangesweep"):
+        # measured AUTO route (round 5): payload == index collapses the
+        # pairs rangesweep to TWO planes — the index plane the stable
+        # pipeline already rides IS the payload, so both mapped phases
+        # and the exchange drop a full plane vs routing through
+        # sort_pairs (mapped 2-op vs 3-op phase: 392.0 vs 502.2 ms at
+        # 2^28 — hw_r5_campaign1.log D rows)
+        from ..core import codec
+        from . import rangesweep
+
+        sc, sv = rangesweep.argsort_rangesweep(codec.encode_keys(keys))
+        perm = sv.view(jnp.int32)
+        if order == Order.DESCENDING:
+            perm = jnp.flip(perm, axis=0)
+        if return_keys:
+            out_k = codec.decode_keys(sc, codec.key_type_of(keys))
+            if order == Order.DESCENDING:
+                out_k = jnp.flip(out_k, axis=0)
+            return out_k, perm
+        return perm
     idx = jnp.arange(keys.shape[0], dtype=jnp.uint32)
     k, v = sort_pairs(keys, idx, order=order, backend=backend,
                       variant=variant, tile_rows=tile_rows)

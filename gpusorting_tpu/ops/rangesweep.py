@@ -86,6 +86,17 @@ def _default_seg_elems_pairs(wide: bool = False) -> int:
             else r.rangesweep_seg_elems_pairs)
 
 
+def _default_seg_elems_index() -> int:
+    """Argsort (2-plane) phase-1 chunk length: the 2-operand working set
+    sits between keys (2^23) and 3-operand pairs (2^22); mapped 2-op
+    2-key rates at 2^28: seg 2^22 = 392.0 ms vs 2^21 = 367.2
+    (hw_r5_campaign1.log D rows) — but phase-2 cost grows ~K^2, so the
+    end-to-end default is measured, not inferred (hw_r5_campaign3)."""
+    from ..core.config import get_routing_parameters
+
+    return get_routing_parameters().rangesweep_seg_elems_index
+
+
 def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
     """(K, K+1) per-chunk cut positions making bucket b exactly L elements.
 
@@ -464,13 +475,23 @@ def sort_pairs_rangesweep(codes: jnp.ndarray, bits: jnp.ndarray,
 def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
                                  seg_elems: int,
                                  interpret: bool | None = None,
-                                 method: str = "dma"):
+                                 method: str = "dma",
+                                 return_index: bool = False):
     """Plane-level core of `sort_pairs_rangesweep`: stable pair sort of
-    u32 codes with 1..2 u32 payload planes moved by the same permutation
+    u32 codes with 0..2 u32 payload planes moved by the same permutation
     (2 planes = a 64-bit payload's lo/hi — the direct entry for
     `ops.sort_pairs_wide`, which already holds split planes).  Returns
     (sorted_codes, *permuted_planes); bit-exact with the stable oracle
-    moving each plane."""
+    moving each plane.
+
+    return_index=True additionally returns the u32 original-index plane
+    right after the codes — the STABLE ARGSORT permutation, obtained for
+    free because the pipeline already rides it for determinism.  With
+    planes=() this is the 2-plane argsort fast path: the reference
+    argsort idiom is a pair sort whose payload IS the index
+    (GPUSortBase.h CreateTestInput), so carrying a third plane would
+    duplicate the index plane — measured 2-op mapped phases run 502/392
+    -> the 3-op form pays ~28% more per phase (hw_r5_campaign1.log D)."""
     if interpret is None:
         interpret = not _is_tpu()
     n = codes.shape[0]
@@ -478,9 +499,12 @@ def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
     if L % LANES:
         raise ValueError(f"seg_elems must be a multiple of {LANES}, got {L}")
     if n <= L:
-        out = jax.lax.sort((codes,) + tuple(planes), num_keys=1,
+        idx0 = jax.lax.iota(jnp.uint32, n)
+        out = jax.lax.sort((codes, idx0) + tuple(planes), num_keys=1,
                            is_stable=True)
-        return out
+        if return_index:
+            return out
+        return (out[0],) + out[2:]
     K = -(-n // L)
     N = K * L
     k = codes
@@ -502,5 +526,27 @@ def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
                          bounds, K, L, interpret, method=method)
     # phase 3: mapped two-key bucket sorts reconstruct the stable order
     p3 = jax.lax.map(sort2, tuple(p.reshape(K, L) for p in ex))
+    tail = 1 if return_index else 2
     return (p3[0].reshape(-1)[:n],) + tuple(
-        p.reshape(-1)[:n] for p in p3[2:])
+        p.reshape(-1)[:n] for p in p3[tail:])
+
+
+def argsort_rangesweep(codes: jnp.ndarray,
+                       seg_elems: int | None = None,
+                       interpret: bool | None = None,
+                       method: str = "dma"):
+    """Stable argsort of u32 codes via the 2-plane range exchange.
+
+    Returns (sorted_codes, perm) with perm the u32 stable-ascending
+    permutation — bit-exact with
+    `jax.lax.sort((codes, iota), num_keys=1, is_stable=True)`.  This is
+    `sort_pairs_rangesweep` with payload == index collapsed to TWO
+    planes (the index plane the stable pipeline already rides IS the
+    payload), dropping a full plane from both mapped phases and the
+    exchange.  Reference role: the argsort idiom is a pair sort with an
+    iota payload (GPUSortBase.h CreateTestInput; SortCommon.hlsl
+    stability validator)."""
+    L = seg_elems or _default_seg_elems_index()
+    return sort_pairs_rangesweep_planes(
+        codes, (), seg_elems=L, interpret=interpret, method=method,
+        return_index=True)

@@ -254,16 +254,21 @@ def test_auto_engine_single_decision():
         assert config.auto_engine(1 << 28) == "xla"  # platform gate (CPU)
     finally:
         config.clear_routing_override()
-    # table-path decisions with an explicit TPU info (v5e row:
-    # rangesweep_min = rangesweep_min_pairs = 2^28, wide unset)
+    # table-path decisions with an explicit TPU info (v5e row: keys
+    # (1<<27)+1 — the flat oracle pads non-pow2 sorts, hw_r5_campaign2 F
+    # rows; rangesweep_min_pairs = 2^28; wide/index unset until measured)
     assert config.auto_engine(1 << 28, info=info_tpu) == "rangesweep"
-    assert config.auto_engine((1 << 28) - 1, info=info_tpu) == "xla"
+    assert config.auto_engine((1 << 27) + 1, info=info_tpu) == "rangesweep"
+    assert config.auto_engine(1 << 27, info=info_tpu) == "xla"
     assert config.auto_engine(1 << 28, config.Mode.PAIRS,
                               info=info_tpu) == "rangesweep"
     assert config.auto_engine((1 << 28) - 1, config.Mode.PAIRS,
                               info=info_tpu) == "xla"
     assert config.auto_engine(1 << 30, config.Mode.PAIRS, payload_bits=64,
                               info=info_tpu) == "xla"  # wide min unset
+    assert config.auto_engine(1 << 30, config.Mode.PAIRS,
+                              index_payload=True,
+                              info=info_tpu) == "xla"  # index min unset
     assert config.auto_engine(1 << 30, info=info_cpu) == "xla"
 
 
@@ -275,6 +280,70 @@ def test_resolve_backend_size_aware():
     assert cfg.resolve_backend(1 << 28) == config.Backend.XLA  # CPU rig
     cfg2 = config.SortConfig(backend=config.Backend.PALLAS)
     assert cfg2.resolve_backend(1) == config.Backend.PALLAS
+
+
+# ---- round 5: argsort 2-plane fast path ------------------------------------
+
+
+def _argsort_oracle(k):
+    idx = jnp.arange(k.shape[0], dtype=jnp.uint32)
+    return jax.lax.sort((k, idx), num_keys=1, is_stable=True)
+
+
+@pytest.mark.parametrize("method", ["gather", "dma"])
+@pytest.mark.parametrize("n,L,and_count", [
+    (1000, 2048, 0),     # single chunk: passthrough stable flat sort
+    (2048, 256, 0),      # K=8, exact multiple
+    (5000, 512, 4),      # padded tail + heavy duplicates (stability bites)
+])
+def test_argsort_fast_path_oracle(n, L, and_count, method):
+    """2-plane argsort (payload == index): bit-exact with the stable
+    oracle — the index plane the stable pipeline rides IS the payload."""
+    k = prng.hybrid_taus_bits(n, seed=n % 71, and_count=and_count)
+    ok, operm = rangesweep.argsort_rangesweep(k, seg_elems=L, method=method)
+    ek, eperm = _argsort_oracle(k)
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(operm), np.asarray(eperm))
+
+
+def test_argsort_fast_path_adversarial():
+    # all-equal (one value straddles every bucket) and sentinel collision:
+    # the permutation must stay exactly iota / stable order
+    n, L = 6000, 512
+    for k in (jnp.full((n,), 7, jnp.uint32),
+              jnp.full((n,), 0xFFFFFFFF, jnp.uint32),
+              jnp.where(jnp.arange(n) % 3 == 0,
+                        jnp.uint32(0xFFFFFFFF),
+                        jnp.uint32(42))):
+        ok, operm = rangesweep.argsort_rangesweep(k, seg_elems=L)
+        ek, eperm = _argsort_oracle(k)
+        np.testing.assert_array_equal(np.asarray(ok), np.asarray(ek))
+        np.testing.assert_array_equal(np.asarray(operm), np.asarray(eperm))
+
+
+def test_argsort_auto_route_gate_cpu():
+    """ops.argsort under AUTO stays the oracle on CPU even with the index
+    threshold installed (platform gate), and matches jnp.argsort stable;
+    descending is the element-wise reverse."""
+    from gpusorting_tpu.core import config
+    from gpusorting_tpu import ops
+
+    override = config.RoutingParameters(rangesweep_min_index=1 << 10)
+    config.set_routing_override(override)
+    try:
+        k = prng.hybrid_taus_bits(5000, seed=31, and_count=4)
+        perm = ops.argsort(k)
+        np.testing.assert_array_equal(
+            np.asarray(perm), np.argsort(np.asarray(k), kind="stable"))
+        sk, perm2 = ops.argsort(k, return_keys=True)
+        np.testing.assert_array_equal(np.asarray(perm2), np.asarray(perm))
+        np.testing.assert_array_equal(np.asarray(sk),
+                                      np.sort(np.asarray(k)))
+        pdesc = ops.argsort(k, order=config.Order.DESCENDING)
+        np.testing.assert_array_equal(np.asarray(pdesc),
+                                      np.asarray(perm)[::-1])
+    finally:
+        config.clear_routing_override()
 
 
 def test_wide_auto_route_gate_cpu():
