@@ -34,7 +34,7 @@ from .core.config import (
     set_tuning_override,
 )
 from .ops import argsort, sort, sort_batched, sort_pairs, sort_pairs_wide
-from .utils.autotune import autotune, autotune_routing
+from .utils.autotune import autotune, autotune_rangesweep, autotune_routing
 from .api import (
     DeviceRadixSort,
     EmulatedDeadlocking,
@@ -69,6 +69,7 @@ __all__ = [
     "DeviceInfo",
     "argsort",
     "autotune",
+    "autotune_rangesweep",
     "autotune_routing",
     "clear_tuning_overrides",
     "set_tuning_override",

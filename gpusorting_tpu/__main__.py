@@ -184,6 +184,19 @@ def cmd_dist(args) -> int:
 def cmd_autotune(args) -> int:
     import gpusorting_tpu as gst
 
+    if args.rangesweep:
+        params, sweep = gst.autotune_rangesweep(
+            n_max=_parse_size(args.n), batch=args.batch,
+            install=args.install)
+        print(json.dumps({
+            "sweep": sweep,
+            "rangesweep_min": params.rangesweep_min,
+            "rangesweep_seg_elems": params.rangesweep_seg_elems,
+            "rangesweep_min_pairs": params.rangesweep_min_pairs,
+            "rangesweep_seg_elems_pairs": params.rangesweep_seg_elems_pairs,
+            "installed": args.install,
+        }))
+        return 0
     if args.routing:
         params, sweep = gst.autotune_routing(
             n=_parse_size(args.n), batch=args.batch, install=args.install)
@@ -280,6 +293,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--routing", action="store_true",
                     help="sweep the routing crossovers (map/window) "
                          "instead of the radix tile")
+    sp.add_argument("--rangesweep", action="store_true",
+                    help="sweep the flagship rangesweep crossovers "
+                         "(flat-oracle A/B at --n and below; minutes "
+                         "of wall clock at the default 2^28)")
     sp.set_defaults(fn=cmd_autotune)
     return p
 

@@ -157,8 +157,13 @@ def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,
     b = pl.program_id(0)
     KK = K * K
     n_bits = max(l_rows.bit_length(), 1)
+    # the fringe copy is <= slab_rows rows by construction (bulk*128 +
+    # fringes == L and fringes <= 254*K elems), so its decomposition must
+    # not trace slices wider than the slab — at small K with large L,
+    # l_rows-sized slices from the (K*slab_rows,) slab fail bounds checks
+    fr_bits = max(min(l_rows, slab_rows).bit_length(), 1)
 
-    def blocks(src, s0, d0, nr, act):
+    def blocks(src, s0, d0, nr, act, n_bits=n_bits):
         # static-size power-of-two copies covering [0, nr) rows
         off = jnp.int32(0)
         for k in range(n_bits - 1, -1, -1):
@@ -186,9 +191,9 @@ def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,
         jax.lax.fori_loop(0, K, body, 0)
         bulk_b = ctrl_ref[3 * KK + b]
         blocks(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
-               l_rows - bulk_b, "start")
+               l_rows - bulk_b, "start", n_bits=fr_bits)
         blocks(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
-               l_rows - bulk_b, "wait")
+               l_rows - bulk_b, "wait", n_bits=fr_bits)
         return
 
     def sweep(act):
@@ -201,7 +206,7 @@ def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,
         jax.lax.fori_loop(0, K, body, 0)
         bulk_b = ctrl_ref[3 * KK + b]
         blocks(fringe_ref, b * slab_rows, b * l_rows + bulk_b,
-               l_rows - bulk_b, act)
+               l_rows - bulk_b, act, n_bits=fr_bits)
 
     sweep("start")
     sweep("wait")

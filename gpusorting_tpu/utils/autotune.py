@@ -216,3 +216,111 @@ def autotune_routing(
     if install:
         _config.set_routing_override(params)
     return params, sweep
+
+
+def autotune_rangesweep(
+    n_max: int = 1 << 28,
+    batch: int = 2,
+    seed: int = 10,
+    install: bool = False,
+    seg_candidates_keys: tuple[int, ...] = (1 << 23, 1 << 22),
+    seg_candidates_pairs: tuple[int, ...] = (1 << 22, 1 << 21),
+):
+    """Measure the flagship rangesweep crossovers on the live device.
+
+    The VERDICT-r4 gap this closes (missing #6): `rangesweep_min`,
+    `rangesweep_min_pairs` and the seg_elems they ride were v5e hardware
+    measurements (hw_rangesweep12_r4 / hw_r5_campaign1-2 logs) that v4/v5p/
+    v6e rows inherit blind.  This runs the same flat-oracle-vs-rangesweep
+    A/B the v5e rows came from ON THE LIVE DEVICE — the Tuner.h:895-927
+    analog for the routing table's flagship rows.
+
+    Sweep shape (per mode, keys then pairs):
+      1. at `n_max`, time the flat XLA stable sort and the rangesweep
+         engine at each seg candidate -> best seg + win/lose at n_max
+      2. crossover bracket: re-time both at n_max//2 (pow2) and at
+         3*(n_max//4) (non-pow2, where the flat sort pays pow2 padding)
+         with the best seg.  rangesweep_min is then
+           - None                  if the engine loses at n_max
+           - n_max                 if it loses both smaller sizes
+           - (n_max//2) + 1        if it wins the non-pow2 size but loses
+                                   the pow2 half (the v5e signature)
+           - n_max//2              if it wins both.
+
+    Returns (RoutingParameters, sweep); `install=True` registers the
+    process-wide routing override.  Expect minutes of wall clock at the
+    default 2^28 (each cell is a fresh compile on a cold cache).
+    """
+    import jax
+
+    from ..ops import rangesweep as _rs
+    from ..ops import xla_sort as _xla
+
+    if n_max % 4:
+        raise ValueError("n_max must be divisible by 4")
+
+    def flat_keys(codes):
+        (out,) = _xla.sort_all_keys_unstable((codes,))
+        return out
+
+    def flat_pairs(codes):
+        sk, sv = jax.lax.sort((codes, codes), num_keys=1, is_stable=True)
+        return sk ^ sv
+
+    def rs_keys(seg):
+        return lambda c: _rs.sort_codes_rangesweep(c, seg_elems=seg)
+
+    def rs_pairs(seg):
+        def fn(c):
+            sk, sv = _rs.sort_pairs_rangesweep(c, c, seg_elems=seg)
+            return sk ^ sv
+
+        return fn
+
+    sweep: dict = {}
+    picks: dict = {}
+    for mode_name, flat_fn, rs_fn, segs in (
+        ("keys", flat_keys, rs_keys, seg_candidates_keys),
+        ("pairs", flat_pairs, rs_pairs, seg_candidates_pairs),
+    ):
+        rows: dict = {}
+        rows[("flat", n_max)] = _timed(flat_fn, n_max, batch, seed)[
+            "keys_per_sec"]
+        best_seg, best_rate = None, 0.0
+        for seg in segs:
+            r = _timed(rs_fn(seg), n_max, batch, seed)["keys_per_sec"]
+            rows[(f"rs_seg{seg}", n_max)] = r
+            if r > best_rate:
+                best_seg, best_rate = seg, r
+        if best_rate <= rows[("flat", n_max)]:
+            picks[mode_name] = (None, best_seg or segs[0])
+            sweep[mode_name] = {f"{k[0]}@{k[1]}": v for k, v in rows.items()}
+            continue
+        half, three_q = n_max // 2, 3 * (n_max // 4)
+        wins = {}
+        for m in (three_q, half):
+            rf = _timed(flat_fn, m, batch, seed)["keys_per_sec"]
+            rr = _timed(rs_fn(best_seg), m, batch, seed)["keys_per_sec"]
+            rows[("flat", m)], rows[(f"rs_seg{best_seg}", m)] = rf, rr
+            wins[m] = rr > rf
+        if wins[half]:
+            rs_min = half
+        elif wins[three_q]:
+            rs_min = half + 1  # wins strictly above the pow2 half
+        else:
+            rs_min = n_max
+        picks[mode_name] = (rs_min, best_seg)
+        sweep[mode_name] = {f"{k[0]}@{k[1]}": v for k, v in rows.items()}
+
+    base = _config.get_routing_parameters()
+    params = dataclasses.replace(
+        base,
+        rangesweep_min=picks["keys"][0],
+        rangesweep_seg_elems=picks["keys"][1],
+        rangesweep_min_pairs=picks["pairs"][0],
+        rangesweep_seg_elems_pairs=picks["pairs"][1],
+        measured=True,
+    )
+    if install:
+        _config.set_routing_override(params)
+    return params, sweep
