@@ -429,13 +429,13 @@ class RoutingParameters:
     # is 4-operand and spills residency even earlier than the 3-operand
     # form, so the crossover should sit at or below the 32-bit pairs one
     # — set per generation by hardware measurement only
-    # (benches/hw_r5_wide_pairs.py).
+    # (benches/hw_r5_campaign3.py K rows).
     rangesweep_min_pairs_wide: int | None = None
-    # 4-plane phase-1 chunk length: one notch below the 3-plane 2^22
-    # (the same VMEM-residency argument that moved keys 2^23 -> pairs
-    # 2^22); measured at 2^28: mapped 4-op phases 636.7 ms (2^21) vs
-    # 711.8 (2^22) — hw_r5_campaign2.log G rows.
-    rangesweep_seg_elems_pairs_wide: int = 1 << 21
+    # 4-plane phase-1 chunk length: the isolated mapped-phase rates said
+    # 2^21 (636.7 vs 711.8 ms, hw_r5_campaign2.log G) but END-TO-END the
+    # K^2 phase-2 cost flips it — measured full engine at 2^28:
+    # seg 2^22 = 1535.9 ms vs 2^21 = 1545.6 (hw_r5_campaign3.log K rows).
+    rangesweep_seg_elems_pairs_wide: int = 1 << 22
     # smallest ARGSORT n AUTO routes through the 2-plane rangesweep fast
     # path (ops/rangesweep.argsort_rangesweep — payload == index
     # collapses the pairs pipeline to two planes); None disables.  Its
@@ -459,22 +459,39 @@ _ROUTING_TABLE = {
     # at 3*2^26, 441.4 vs 469.7 at 2^28; loses 212.8 vs 208.6 at pow2
     # 2^27 exactly and 173.3 vs 163.9 at 3*2^25 (hw_rangesweep12_r4,
     # hw_crossover_r4, hw_r5_campaign1/2 logs).  PAIRS: wins 1201.6 vs
-    # 1305.5 ms at 2^28 seg 2^22 (hw_pairs_rangesweep_r4.log); 2^27 re-
-    # measured a 0.5% tie at seg 2^21 (584.0 vs 586.8, hw_r5_campaign1
-    # A rows) so the pairs crossover stays 2^28.
+    # 1305.5 ms at 2^28 seg 2^22 (hw_pairs_rangesweep_r4.log); pow2 2^27
+    # is a 0.5% tie (584.0 vs 586.8, hw_r5_campaign1 A) but the same
+    # non-pow2 padding mechanism as keys flips everything strictly above
+    # it: 897.7 vs 1049.1 at 3*2^26, 744.9 vs 910.6 at 2^27+2^25
+    # (hw_r5_campaign3.log L rows) -> (1<<27)+1.  WIDE (64-bit payload,
+    # 4-plane): 1535.9 vs 1710.0 at 2^28 seg 2^22 (campaign3 K); the
+    # 2^27 band is unmeasured, so the threshold stays 2^28.  ARGSORT
+    # (2-plane): 877.0 vs 1314.8 at 2^28 and 430.4 vs 586.4 at pow2 2^27
+    # (campaign3 J) — wins INCLUDE the pow2 sizes (one plane fewer than
+    # the flat 2-op oracle everywhere), threshold 2^27 pending a deeper
+    # crossover sweep.
     "v5e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                             rangesweep_min_pairs=1 << 28, measured=True),
+                             rangesweep_min_pairs=(1 << 27) + 1,
+                             rangesweep_min_pairs_wide=1 << 28,
+                             rangesweep_min_index=1 << 27,
+                             measured=True),
     # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
     # until hardware is available; v4 likewise (slower HBM shifts the map
     # crossover down if anything, which only costs peak, not correctness).
     # rangesweep_min stays conservative (the measured v5e crossover) on
     # unmeasured parts: below it the route merely falls back to XLA.
     "v5p": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                             rangesweep_min_pairs=1 << 28),
+                             rangesweep_min_pairs=(1 << 27) + 1,
+                             rangesweep_min_pairs_wide=1 << 28,
+                             rangesweep_min_index=1 << 27),
     "v6e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                             rangesweep_min_pairs=1 << 28),
+                             rangesweep_min_pairs=(1 << 27) + 1,
+                             rangesweep_min_pairs_wide=1 << 28,
+                             rangesweep_min_index=1 << 27),
     "v4": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                            rangesweep_min_pairs=1 << 28),
+                            rangesweep_min_pairs=(1 << 27) + 1,
+                            rangesweep_min_pairs_wide=1 << 28,
+                            rangesweep_min_index=1 << 27),
 }
 
 
