@@ -134,6 +134,131 @@ def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
     return jnp.concatenate([zeros, cuts, full], axis=1)  # (K, K+1)
 
 
+def _exact_cuts_hier(x2: jnp.ndarray, K: int, L: int,
+                     heads: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(K, K+1) cut positions, bit-identical to `_exact_cuts`, computed
+    hierarchically so the cost stays flat as K grows.
+
+    The flat bisection's cost explodes ~K^2 (32 value steps x K^2
+    `searchsorted` probes against the full array: 8 ms at K=32 but
+    156 ms at K=128 on v5e — benches/logs/hw_r5_campaign3.log H rows).
+    This version never touches the big array beyond ONE 3K-row gather
+    per boundary:
+
+      1. row heads (every LANES-th element; a chunk row's minimum) get a
+         provenance sort — one (N/128)-element 2-plane sort.  With the
+         total order (value, chunk, position), the element of global
+         rank b*L provably lies between the heads of head-rank m-K and
+         m+K (m = b*l_rows): each head's element-rank is within 128*K
+         of 128*(its head-rank).  Rank windows, not value windows, so
+         duplicate-heavy inputs (all-equal keys) keep the bound.
+      2. per boundary, the candidate rows are the 2K rank-window rows
+         plus one straddle row per chunk (the row just before each
+         chunk's window) — <= 3K rows, gathered into one slab.  Rows
+         before the window are wholly below the target (count 128 each),
+         rows after are wholly above (count 0).
+      3. the 32-step value bisection runs against the slab only
+         (base*128 + #slab-elements < v).  The fixed point equals the
+         true v_b: below v_b the base rows under-count at most the
+         equal run, and at v_b+1 every taken run element lives in
+         base+window, so the slab count crosses the target exactly
+         where the full count does.
+      4. the equal-run split in chunk order uses window run counts; run
+         elements in base rows are already (correctly) taken.
+    """
+    R = L // LANES
+    KR = K * R
+    if heads is None:
+        heads = x2.reshape(K, R, LANES)[:, :, 0]
+    ids = jax.lax.iota(jnp.uint32, KR)
+    _, sid = jax.lax.sort((heads.reshape(-1), ids), num_keys=2)
+    # rnk[i, r] = sorted position of chunk i's row r head (ascending in r)
+    _, rnk_flat = jax.lax.sort((sid, ids), num_keys=2)
+    rnk = rnk_flat.astype(jnp.int32).reshape(K, R)
+
+    m = jnp.arange(1, K, dtype=jnp.int32) * jnp.int32(R)       # (K-1,)
+    jlo = jnp.maximum(m - K, 0)
+    jhi = jnp.minimum(m + K, KR)
+
+    # a[i, b] = #heads of chunk i with sorted rank < jlo_b
+    a = jax.vmap(lambda row: jnp.searchsorted(
+        row, jlo, side="left").astype(jnp.int32))(rnk)          # (K, K-1)
+    base = jnp.maximum(a - 1, 0)                                # full rows
+
+    # slab row ids: 2K rank-window rows + K straddle rows per boundary
+    t = jnp.arange(2 * K, dtype=jnp.int32)                      # (2K,)
+    widx = jlo[:, None] + t[None, :]                            # (K-1, 2K)
+    wvalid = widx < jhi[:, None]
+    wid = jnp.take(sid, jnp.clip(widx, 0, KR - 1),
+                   axis=0).astype(jnp.int32)                    # (K-1, 2K)
+    sid_chunk = jnp.arange(K, dtype=jnp.int32)[None, :]         # (1, K)
+    strad_id = sid_chunk * R + (a.T - 1)                        # (K-1, K)
+    svalid = a.T >= 1
+    row_ids = jnp.concatenate([wid, strad_id], axis=1)          # (K-1, 3K)
+    valid = jnp.concatenate([wvalid, svalid], axis=1)
+    chunk_of = jnp.where(valid, row_ids // R, -1)
+    safe_ids = jnp.where(valid, row_ids, 0)
+
+    slab = jnp.take(x2.reshape(KR, LANES), safe_ids.reshape(-1),
+                    axis=0).reshape(K - 1, 3 * K, LANES)
+    lane_valid = valid[:, :, None]                              # (K-1,3K,1)
+
+    base_total = jnp.sum(base, axis=0)                          # (K-1,)
+    targets = jnp.arange(1, K, dtype=jnp.int32) * jnp.int32(L)
+
+    def step(s, v):
+        bit = 31 - s
+        vp = v | (jnp.uint32(1) << bit)
+        w = jnp.sum(jnp.where(lane_valid & (slab < vp[:, None, None]), 1, 0),
+                    axis=(1, 2))
+        below = base_total * LANES + w
+        return jnp.where(below < targets, vp, v)
+
+    v = jax.lax.fori_loop(0, 32, step, jnp.zeros((K - 1,), jnp.uint32))
+
+    # per-(boundary, chunk) window counts below / equal the splitter
+    lt = jnp.sum(jnp.where(lane_valid & (slab < v[:, None, None]), 1, 0),
+                 axis=2)                                        # (K-1, 3K)
+    eq = jnp.sum(jnp.where(lane_valid & (slab == v[:, None, None]), 1, 0),
+                 axis=2)
+    oh = (chunk_of[:, :, None] ==
+          jnp.arange(K, dtype=jnp.int32)[None, None, :])        # (K-1,3K,K)
+    c_w = jnp.sum(jnp.where(oh, lt[:, :, None], 0), axis=1).T   # (K, K-1)
+    e_w = jnp.sum(jnp.where(oh, eq[:, :, None], 0), axis=1).T
+    c = base * LANES + c_w
+    deficit = targets - jnp.sum(c, axis=0)
+    excl = jnp.cumsum(e_w, axis=0) - e_w
+    take = jnp.clip(deficit[None, :] - excl, 0, e_w)
+    cuts = c + take
+    zeros = jnp.zeros((K, 1), jnp.int32)
+    full = jnp.full((K, 1), L, jnp.int32)
+    return jnp.concatenate([zeros, cuts, full], axis=1)
+
+
+# smallest K where the head-window cuts beat the flat bisection; the
+# bisection cost grows ~K^2 (8 ms at K=32, 156 ms at K=128 — campaign-3 H
+# rows) while hier stays ~flat.  None = auto-hier disabled (bisect
+# everywhere) until the hardware A/B lands (hw_r5_campaign5) — routing
+# discipline: measured before routed.
+_CUTS_HIER_MIN_K: int | None = None
+
+
+def _cuts(x2: jnp.ndarray, K: int, L: int, method: str | None = None,
+          heads: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Cut-computation dispatch: "bisect" = the flat value bisection
+    (cheapest at small K), "hier" = the head-window scheme (flat in K),
+    None = auto by K (`_CUTS_HIER_MIN_K`).  Both produce identical cuts
+    (tests/test_rangesweep.py equality sweep)."""
+    if method is None:
+        method = ("hier" if _CUTS_HIER_MIN_K is not None
+                  and K >= _CUTS_HIER_MIN_K else "bisect")
+    if method == "hier":
+        return _exact_cuts_hier(x2, K, L, heads=heads)
+    if method != "bisect":
+        raise ValueError(f"unknown cuts method {method!r}")
+    return _exact_cuts(x2, K, L)
+
+
 def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,
                      K: int, l_rows: int, slab_rows: int,
                      interpret: bool):
@@ -378,11 +503,13 @@ def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
 def sort_codes_rangesweep(codes: jnp.ndarray,
                           seg_elems: int | None = None,
                           interpret: bool | None = None,
-                          method: str = "dma") -> jnp.ndarray:
+                          method: str = "dma",
+                          cuts: str | None = None) -> jnp.ndarray:
     """Ascending keys-only sort of u32 codes via the range exchange.
 
     method: "dma" (measured default — the Pallas relocate kernel) or
     "gather" (the measured-loser probe arm); see `_range_exchange`.
+    cuts: None (auto by K) / "bisect" / "hier" — see `_cuts`.
     """
     if method not in ("gather", "dma"):
         raise ValueError(f"unknown method {method!r}")
@@ -405,11 +532,15 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
 
     from . import xla_sort
 
-    # phase 1: mapped VMEM-resident chunk sorts
-    x2 = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
-                     x.reshape(K, L))
+    # phase 1: mapped VMEM-resident chunk sorts (row heads ride out
+    # fused — the hier cuts consume them without touching the big array)
+    def _p1(r):
+        s = xla_sort.sort_all_keys_unstable((r,))[0]
+        return s, s.reshape(-1, LANES)[:, 0]
+
+    x2, heads = jax.lax.map(_p1, x.reshape(K, L))
     # phase 2: exact cuts + range exchange (dense buckets, flat (N,))
-    bounds = _exact_cuts(x2, K, L)
+    bounds = _cuts(x2, K, L, method=cuts, heads=heads)
     (out,) = _range_exchange((x2.reshape(-1),), bounds, K, L, interpret,
                              method=method)
     # phase 3: mapped dense-bucket sorts — the same shape as phase 1
@@ -421,7 +552,8 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
 def sort_pairs_rangesweep(codes: jnp.ndarray, bits: jnp.ndarray,
                           seg_elems: int | None = None,
                           interpret: bool | None = None,
-                          method: str = "dma"):
+                          method: str = "dma",
+                          cuts: str | None = None):
     """STABLE (codes, payload-bits) pair sort via the range exchange;
     bit-exact with `jax.lax.sort((codes, bits), num_keys=1,
     is_stable=True)`.
@@ -469,11 +601,12 @@ def sort_pairs_rangesweep(codes: jnp.ndarray, bits: jnp.ndarray,
         hi = (bits >> jnp.uint64(32)).astype(jnp.uint32)
         k3, slo, shi = sort_pairs_rangesweep_planes(
             codes, (lo, hi), seg_elems=L, interpret=interpret,
-            method=method)
+            method=method, cuts=cuts)
         return k3, (slo.astype(jnp.uint64)
                     | (shi.astype(jnp.uint64) << jnp.uint64(32)))
     k3, sv = sort_pairs_rangesweep_planes(
-        codes, (bits,), seg_elems=L, interpret=interpret, method=method)
+        codes, (bits,), seg_elems=L, interpret=interpret, method=method,
+        cuts=cuts)
     return k3, sv
 
 
@@ -481,7 +614,8 @@ def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
                                  seg_elems: int,
                                  interpret: bool | None = None,
                                  method: str = "dma",
-                                 return_index: bool = False):
+                                 return_index: bool = False,
+                                 cuts: str | None = None):
     """Plane-level core of `sort_pairs_rangesweep`: stable pair sort of
     u32 codes with 0..2 u32 payload planes moved by the same permutation
     (2 planes = a 64-bit payload's lo/hi — the direct entry for
@@ -521,12 +655,18 @@ def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
     idx = jax.lax.iota(jnp.uint32, N)
 
     sort2 = lambda t: jax.lax.sort(t, num_keys=2, is_stable=False)
+
     # phase 1: mapped VMEM-resident (code, index, payload...) chunk sorts
-    p1 = jax.lax.map(
-        sort2, (k.reshape(K, L), idx.reshape(K, L))
+    # (code-plane row heads ride out fused for the hier cuts)
+    def _p1(t):
+        s = sort2(t)
+        return s, s[0].reshape(-1, LANES)[:, 0]
+
+    p1, heads = jax.lax.map(
+        _p1, (k.reshape(K, L), idx.reshape(K, L))
         + tuple(p.reshape(K, L) for p in planes))
     # phase 2: exact cuts from the key plane; one plan moves all planes
-    bounds = _exact_cuts(p1[0], K, L)
+    bounds = _cuts(p1[0], K, L, method=cuts, heads=heads)
     ex = _range_exchange(tuple(p.reshape(-1) for p in p1),
                          bounds, K, L, interpret, method=method)
     # phase 3: mapped two-key bucket sorts reconstruct the stable order
@@ -539,7 +679,8 @@ def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
 def argsort_rangesweep(codes: jnp.ndarray,
                        seg_elems: int | None = None,
                        interpret: bool | None = None,
-                       method: str = "dma"):
+                       method: str = "dma",
+                       cuts: str | None = None):
     """Stable argsort of u32 codes via the 2-plane range exchange.
 
     Returns (sorted_codes, perm) with perm the u32 stable-ascending
@@ -554,4 +695,4 @@ def argsort_rangesweep(codes: jnp.ndarray,
     L = seg_elems or _default_seg_elems_index()
     return sort_pairs_rangesweep_planes(
         codes, (), seg_elems=L, interpret=interpret, method=method,
-        return_index=True)
+        return_index=True, cuts=cuts)

@@ -376,3 +376,65 @@ def test_wide_auto_route_gate_cpu():
         np.testing.assert_array_equal(np.asarray(ohi), np.asarray(ehi))
     finally:
         config.clear_routing_override()
+
+
+# ---- round 5: hierarchical cuts (head-window exact selection) --------------
+
+
+def _gen_cuts_case(kind, n, seed):
+    rng = np.random.default_rng(seed)
+    if kind == "rand":
+        return rng.integers(0, 2**32, n, dtype=np.uint32)
+    if kind == "dup16":
+        return rng.integers(0, 16, n, dtype=np.uint32)
+    if kind == "alleq":
+        return np.full(n, 0xABCD1234, np.uint32)
+    if kind == "lowhi":
+        return np.where(np.arange(n) % 2 == 0, 0,
+                        0xFFFFFFFF).astype(np.uint32)
+    return np.arange(n, dtype=np.uint32)  # iota
+
+
+@pytest.mark.parametrize("kind", ["rand", "dup16", "alleq", "lowhi", "iota"])
+@pytest.mark.parametrize("K,L", [(2, 256), (8, 1024), (16, 2048),
+                                 (33, 128), (8, 131072)])
+def test_hier_cuts_equal_bisect(kind, K, L):
+    """The head-window cuts are BIT-IDENTICAL to the flat bisection on
+    every distribution (the total-order rank semantics is unique) —
+    including all-equal keys (rank windows survive duplicate heads),
+    K > rows-per-chunk (33, 128 -> R=1), and small-K/large-L."""
+    x = _gen_cuts_case(kind, K * L, seed=K * 7 + L % 97)
+    x2 = jnp.sort(jnp.asarray(x).reshape(K, L), axis=1)
+    old = np.asarray(rangesweep._exact_cuts(x2, K, L))
+    new = np.asarray(rangesweep._exact_cuts_hier(x2, K, L))
+    np.testing.assert_array_equal(old, new)
+
+
+def test_hier_cuts_engine_oracle():
+    """End-to-end engines with cuts="hier": keys unstable-oracle, pairs
+    and argsort stable-oracle identity (heavy duplicates so run splits
+    actually straddle chunk boundaries)."""
+    n, L = 33_000, 1024
+    k = prng.hybrid_taus_bits(n, seed=3) & jnp.uint32(0xFF)
+    out = np.asarray(rangesweep.sort_codes_rangesweep(
+        k, seg_elems=L, cuts="hier"))
+    np.testing.assert_array_equal(out, np.sort(np.asarray(k)))
+    v = jnp.arange(n, dtype=jnp.uint32)
+    ek, ev = jax.lax.sort((k, v), num_keys=1, is_stable=True)
+    gk, gv = rangesweep.sort_pairs_rangesweep(k, v, seg_elems=L, cuts="hier")
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(ek))
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(ev))
+    sk, perm = rangesweep.argsort_rangesweep(k, seg_elems=L, cuts="hier")
+    np.testing.assert_array_equal(np.asarray(perm), np.asarray(ev))
+
+
+def test_cuts_dispatch():
+    """None -> auto by K (_CUTS_HIER_MIN_K); unknown method raises."""
+    K, L = 4, 512
+    x2 = jnp.sort(jnp.asarray(
+        _gen_cuts_case("rand", K * L, 5)).reshape(K, L), axis=1)
+    np.testing.assert_array_equal(
+        np.asarray(rangesweep._cuts(x2, K, L)),
+        np.asarray(rangesweep._exact_cuts(x2, K, L)))
+    with pytest.raises(ValueError):
+        rangesweep._cuts(x2, K, L, method="nope")
