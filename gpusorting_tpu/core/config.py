@@ -468,12 +468,16 @@ _ROUTING_TABLE = {
     # 2^27 band is unmeasured, so the threshold stays 2^28.  ARGSORT
     # (2-plane): 877.0 vs 1314.8 at 2^28 and 430.4 vs 586.4 at pow2 2^27
     # (campaign3 J) — wins INCLUDE the pow2 sizes (one plane fewer than
-    # the flat 2-op oracle everywhere), threshold 2^27 pending a deeper
-    # crossover sweep.
+    # the flat 2-op oracle everywhere); campaign-4 J2 rows extend the
+    # sweep down: 211.4 vs 259.9 at 2^26, 320.8 vs 467.4 at 3*2^25,
+    # 105.8 vs 115.3 at 2^25 — threshold 2^25, floor probed at 2^24 in
+    # campaign 5.  WIDE non-pow2 follows the keys/pairs mechanism:
+    # 1145.8 vs 1356.4 at 3*2^26, 951.4 vs 1177.3 at 2^27+2^25
+    # (campaign-4 K2) -> (1<<27)+1.
     "v5e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                              rangesweep_min_pairs=(1 << 27) + 1,
-                             rangesweep_min_pairs_wide=1 << 28,
-                             rangesweep_min_index=1 << 27,
+                             rangesweep_min_pairs_wide=(1 << 27) + 1,
+                             rangesweep_min_index=1 << 25,
                              measured=True),
     # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
     # until hardware is available; v4 likewise (slower HBM shifts the map
@@ -482,16 +486,16 @@ _ROUTING_TABLE = {
     # unmeasured parts: below it the route merely falls back to XLA.
     "v5p": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                              rangesweep_min_pairs=(1 << 27) + 1,
-                             rangesweep_min_pairs_wide=1 << 28,
-                             rangesweep_min_index=1 << 27),
+                             rangesweep_min_pairs_wide=(1 << 27) + 1,
+                             rangesweep_min_index=1 << 25),
     "v6e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                              rangesweep_min_pairs=(1 << 27) + 1,
-                             rangesweep_min_pairs_wide=1 << 28,
-                             rangesweep_min_index=1 << 27),
+                             rangesweep_min_pairs_wide=(1 << 27) + 1,
+                             rangesweep_min_index=1 << 25),
     "v4": RoutingParameters(rangesweep_min=(1 << 27) + 1,
                             rangesweep_min_pairs=(1 << 27) + 1,
-                            rangesweep_min_pairs_wide=1 << 28,
-                            rangesweep_min_index=1 << 27),
+                            rangesweep_min_pairs_wide=(1 << 27) + 1,
+                            rangesweep_min_index=1 << 25),
 }
 
 

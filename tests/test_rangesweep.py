@@ -255,10 +255,10 @@ def test_auto_engine_single_decision():
     finally:
         config.clear_routing_override()
     # table-path decisions with an explicit TPU info (v5e row, all
-    # hardware-measured: keys AND pairs (1<<27)+1 — the flat oracle pads
-    # non-pow2 sorts (hw_r5_campaign2 F, campaign3 L rows); wide 2^28
-    # (campaign3 K); argsort 2^27 — wins at the pow2 sizes too
-    # (campaign3 J))
+    # hardware-measured: keys AND pairs AND wide (1<<27)+1 — the flat
+    # oracle pads non-pow2 sorts (hw_r5_campaign2 F, campaign3 L,
+    # campaign4 K2 rows); argsort 2^25 — wins at the pow2 sizes too
+    # (campaign3 J, campaign4 J2))
     assert config.auto_engine(1 << 28, info=info_tpu) == "rangesweep"
     assert config.auto_engine((1 << 27) + 1, info=info_tpu) == "rangesweep"
     assert config.auto_engine(1 << 27, info=info_tpu) == "xla"
@@ -268,17 +268,18 @@ def test_auto_engine_single_decision():
                               info=info_tpu) == "rangesweep"
     assert config.auto_engine(1 << 27, config.Mode.PAIRS,
                               info=info_tpu) == "xla"
-    assert config.auto_engine(1 << 28, config.Mode.PAIRS, payload_bits=64,
-                              info=info_tpu) == "rangesweep"
-    assert config.auto_engine((1 << 28) - 1, config.Mode.PAIRS,
+    assert config.auto_engine((1 << 27) + 1, config.Mode.PAIRS,
                               payload_bits=64,
-                              info=info_tpu) == "xla"  # wide min = 2^28
+                              info=info_tpu) == "rangesweep"
     assert config.auto_engine(1 << 27, config.Mode.PAIRS,
+                              payload_bits=64,
+                              info=info_tpu) == "xla"  # wide min (1<<27)+1
+    assert config.auto_engine(1 << 25, config.Mode.PAIRS,
                               index_payload=True,
                               info=info_tpu) == "rangesweep"
-    assert config.auto_engine((1 << 27) - 1, config.Mode.PAIRS,
+    assert config.auto_engine((1 << 25) - 1, config.Mode.PAIRS,
                               index_payload=True,
-                              info=info_tpu) == "xla"  # index min = 2^27
+                              info=info_tpu) == "xla"  # index min = 2^25
     assert config.auto_engine(1 << 30, info=info_cpu) == "xla"
 
 
