@@ -20,6 +20,66 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _rangesweep_window(L=1 << 21, Ks=(16, 17)):
+    """Residue sweep across the flagship engine's K/L chunk boundaries.
+
+    Reference mechanism: boundary-exhaustive sweeps of the production
+    path (GPUSortBase.h:245-248).  Per size: ONE jitted checker compile;
+    keys run uniform / heavy-dup / all-equal and pairs run uniform /
+    heavy-dup through it (inputs are arguments, not constants).  Default
+    residues hit the partial-last-chunk edge (KL-257..KL-1), the exact
+    grid (KL), and the nearly-empty extra chunk (KL+1..KL+257);
+    GST_EXHAUSTIVE=1 widens to a strided +-257 window.
+    """
+    import jax
+
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.ops import rangesweep
+
+    if os.environ.get("GST_EXHAUSTIVE") == "1":
+        residues = list(range(-257, 258, 13)) + [-1, 0, 1]
+    else:
+        residues = [-257, -129, -1, 0, 1, 127, 257]
+    ok = total = 0
+    for K in Ks:
+        for r in sorted(set(residues)):
+            n = K * L + r
+
+            @jax.jit
+            def keys_check(x, n=n):
+                g = rangesweep.sort_codes_rangesweep(x, seg_elems=L)
+                e = jax.lax.sort(x)
+                return jnp.sum(jnp.where(g != e, 1, 0), dtype=jnp.int32)
+
+            @jax.jit
+            def pairs_check(x, n=n):
+                v = jax.lax.iota(jnp.uint32, n) * jnp.uint32(2654435769)
+                gk, gv = rangesweep.sort_pairs_rangesweep(x, v, seg_elems=L)
+                ek, ev = jax.lax.sort((x, v), num_keys=1, is_stable=True)
+                return (jnp.sum(jnp.where(gk != ek, 1, 0), dtype=jnp.int32)
+                        + jnp.sum(jnp.where(gv != ev, 1, 0),
+                                  dtype=jnp.int32))
+
+            uni = prng.hybrid_taus_bits(n, seed=n & 0x7FFF)
+            dup = uni & jnp.uint32(0xFFF)
+            alleq = jnp.full((n,), jnp.uint32(0xABCD1234))
+            for tag, x in (("uni", uni), ("dup", dup), ("alleq", alleq)):
+                bad = int(np.asarray(keys_check(x)))
+                ok += bad == 0
+                total += 1
+                if bad:
+                    print(f"  rangesweep keys {tag} n={n}: {bad} mismatches",
+                          flush=True)
+            for tag, x in (("uni", uni), ("dup", dup)):
+                bad = int(np.asarray(pairs_check(x)))
+                ok += bad == 0
+                total += 1
+                if bad:
+                    print(f"  rangesweep pairs {tag} n={n}: {bad} mismatches",
+                          flush=True)
+    return ok, total
+
+
 def main():
     import gpusorting_tpu as gst
     from gpusorting_tpu.core import prng
@@ -218,6 +278,17 @@ def main():
         print(f"[boundary pairs {pname}] sizes with 0 mismatches: "
               f"{total if bad == 0 else 'FAIL'} / {total}", flush=True)
 
+    # 6d. rangesweep boundary window (VERDICT r4 missing #5): the engine
+    #     AUTO actually ships gets the residue treatment — K/L chunk
+    #     boundaries at K=16 (exact grid) and K=17 (padded tail chunk),
+    #     keys at uniform + E020-style dup + all-equal and stable pairs
+    #     at uniform + dup THROUGH THE SAME COMPILE (the checker takes
+    #     the input as an argument, so distributions share each size's
+    #     compile).  GST_EXHAUSTIVE=1 widens the residue set.
+    rw = _rangesweep_window()
+    print(f"[rangesweep window] {rw[0]} / {rw[1]} passed", flush=True)
+    report.record(rw[0] == rw[1], "rangesweep boundary window")
+
     # 7. distributed path compiles and runs on real hardware (1-chip mesh)
     from gpusorting_tpu.parallel import dist_sort
     mesh = dist_sort.make_mesh(1)
@@ -235,4 +306,10 @@ def main():
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "rangesweep-window":
+        # standalone run of the 6d section (e.g. right after a routing
+        # or engine change, without the full ~40-min suite)
+        okc, tot = _rangesweep_window()
+        print(f"[rangesweep window] {okc} / {tot} passed", flush=True)
+        sys.exit(0 if okc == tot else 1)
     main()
