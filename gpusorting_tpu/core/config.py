@@ -407,9 +407,12 @@ class RoutingParameters:
     # 328.5 vs 372.3 at 3*2^26, 441.4 vs 469.7 at 2^28; pow2 2^27 itself
     # loses 2% and 3*2^25 loses 5.7%, so the threshold is (1<<27)+1).
     rangesweep_min: int | None = None
-    # rangesweep phase-1 chunk length (measured winner: 2^23 on v5e —
-    # 441.4 ms vs XLA's 469.7 at 2^28, benches/logs/hw_rangesweep12_r4.log)
-    rangesweep_seg_elems: int = 1 << 23
+    # rangesweep phase-1 chunk length.  Round 4 measured 2^23 (441.4 ms
+    # at 2^28); the round-5 hierarchical cuts removed the ~K^2 phase-2
+    # wall and moved the winner to 2^21 (K=128): 394.8 ms vs 412.5
+    # (2^22) / 441.4 (2^23) / 417.8 (2^20 — exchange growth takes over)
+    # — hw_r5_campaign5.log Q rows.
+    rangesweep_seg_elems: int = 1 << 21
     # smallest STABLE-PAIRS n AUTO routes through the pairs rangesweep
     # (ops/rangesweep.sort_pairs_rangesweep — index-plane 2-key form);
     # None disables.  The pairs crossover sits BELOW the keys one on v5e
@@ -418,11 +421,10 @@ class RoutingParameters:
     # benches/logs/hw_pairs_probe_r4.log); set per generation by
     # hardware measurement only (benches/hw_pairs_rangesweep.py).
     rangesweep_min_pairs: int | None = None
-    # pairs phase-1 chunk length: the 3-operand working set moves the
-    # VMEM-residency edge a notch below the keys 2^23 (mapped 3-op 2-key
-    # at 2^28: seg 2^22 = 534.8 ms vs seg 2^23 = 814.5 —
-    # hw_pairs_probe_r4.log)
-    rangesweep_seg_elems_pairs: int = 1 << 22
+    # pairs phase-1 chunk length: with the hierarchical cuts the winner
+    # moved 2^22 -> 2^21 like keys (2^28 end-to-end: 1099.9 ms at 2^21
+    # vs 1168.9 at 2^22 — hw_r5_campaign5.log S rows).
+    rangesweep_seg_elems_pairs: int = 1 << 21
     # smallest 64-BIT-PAYLOAD stable-pairs n AUTO routes through the
     # 4-plane pairs rangesweep (codes + index + payload lo/hi planes
     # through one exchange plan); None disables.  The flat 64-bit oracle
@@ -444,10 +446,11 @@ class RoutingParameters:
     # the exchange, so the crossover sits at or below the pairs one —
     # measured only (benches/hw_r5_campaign3.py).
     rangesweep_min_index: int | None = None
-    # argsort phase-1 chunk length (2-operand working set; mapped rates
-    # at 2^28: seg 2^22 = 392.0 ms vs 2^21 = 367.2, hw_r5_campaign1.log
-    # D — but phase-2 cost grows ~K^2; end-to-end measured default).
-    rangesweep_seg_elems_index: int = 1 << 22
+    # argsort phase-1 chunk length: 2^22 won end-to-end under the K^2
+    # bisect cuts (877.0 vs 952.8 at 2^21 — campaign3 J); the
+    # hierarchical cuts flipped it to 2^21 (803.2 vs 845.6 at 2^22 —
+    # hw_r5_campaign5.log R rows).
+    rangesweep_seg_elems_index: int = 1 << 21
     measured: bool = False
 
 

@@ -9,7 +9,10 @@ headline benchmark.
      VMEM-resident (13 ms per 2^24 on v5e; 16 x 2^24 = 208 ms at 2^28,
      benches/RESULTS.md), unlike the batched dimension=1 form (390 ms).
   2. EXACT balanced cuts: a 32-step value bisection over the K sorted chunks
-     (k-way multisequence selection, vectorized over the K-1 boundaries).
+     (k-way multisequence selection, vectorized over the K-1 boundaries;
+     at K >= 64 the bisection runs hierarchically against a <=3K-row
+     head-window slab per boundary — `_exact_cuts_hier` — keeping the
+     cuts ~20 ms where the flat form pays ~K^2).
      Equal-value runs are split BY COUNT across adjacent buckets — legal for
      keys-only because equal u32 codes are interchangeable — so every bucket
      is exactly L elements for ANY distribution: no sampling slack, no
@@ -65,20 +68,20 @@ def _grid_sem():
 
 
 def _default_seg_elems() -> int:
-    """Phase-1 chunk length: measured winner 2^23 on v5e (the VMEM-
-    residency edge trades against K^2 exchange bookkeeping; sweep in
-    benches/logs/hw_rangesweep12_r4.log)."""
+    """Phase-1 chunk length: measured winner 2^21 on v5e with the
+    hierarchical cuts (394.8 ms at 2^28 vs 412.5/441.4/417.8 at
+    2^22/2^23/2^20 — hw_r5_campaign5.log Q rows; the r4 winner 2^23 was
+    set by the old cuts' ~K^2 wall)."""
     from ..core.config import get_routing_parameters
 
     return get_routing_parameters().rangesweep_seg_elems
 
 
 def _default_seg_elems_pairs(wide: bool = False) -> int:
-    """Pairs phase-1 chunk length: the 3-operand working set moves the
-    VMEM-residency edge a notch below the keys 2^23 (seg 2^22 = 534.8 ms
-    vs 2^23 = 814.5 at 2^28 — hw_pairs_probe_r4.log); a no-arg pairs call
-    must NOT inherit the keys default, which is a measured loser here
-    (advisor r4).  wide=True returns the 4-plane (64-bit payload) seg."""
+    """Pairs phase-1 chunk length: 2^21 with the hierarchical cuts
+    (1099.9 ms at 2^28 vs 1168.9 at 2^22 — hw_r5_campaign5.log S rows).
+    wide=True returns the 4-plane (64-bit payload) seg (2^22, campaign-5
+    T row)."""
     from ..core.config import get_routing_parameters
 
     r = get_routing_parameters()
@@ -87,11 +90,9 @@ def _default_seg_elems_pairs(wide: bool = False) -> int:
 
 
 def _default_seg_elems_index() -> int:
-    """Argsort (2-plane) phase-1 chunk length: the 2-operand working set
-    sits between keys (2^23) and 3-operand pairs (2^22); mapped 2-op
-    2-key rates at 2^28: seg 2^22 = 392.0 ms vs 2^21 = 367.2
-    (hw_r5_campaign1.log D rows) — but phase-2 cost grows ~K^2, so the
-    end-to-end default is measured, not inferred (hw_r5_campaign3)."""
+    """Argsort (2-plane) phase-1 chunk length: 2^21 with the
+    hierarchical cuts (803.2 ms at 2^28 vs 845.6 at 2^22 —
+    hw_r5_campaign5.log R rows)."""
     from ..core.config import get_routing_parameters
 
     return get_routing_parameters().rangesweep_seg_elems_index
@@ -237,10 +238,12 @@ def _exact_cuts_hier(x2: jnp.ndarray, K: int, L: int,
 
 # smallest K where the head-window cuts beat the flat bisection; the
 # bisection cost grows ~K^2 (8 ms at K=32, 156 ms at K=128 — campaign-3 H
-# rows) while hier stays ~flat.  None = auto-hier disabled (bisect
-# everywhere) until the hardware A/B lands (hw_r5_campaign5) — routing
-# discipline: measured before routed.
-_CUTS_HIER_MIN_K: int | None = None
+# rows) while hier stays ~flat.  MEASURED on v5e (hw_r5_campaign5 P rows,
+# p1+cuts at 2^28): K=32 bisect 209.8 vs hier 220.6 — bisect keeps small
+# K; K=64 hier 208.4 vs bisect 224.7; K=128 hier 198.5 vs bisect 332.3;
+# K=256 hier 196.1 (bisect unmeasurable).  Hardware digests exact at
+# uniform/dup/all-equal (P0 rows).
+_CUTS_HIER_MIN_K: int | None = 64
 
 
 def _cuts(x2: jnp.ndarray, K: int, L: int, method: str | None = None,

@@ -222,16 +222,18 @@ def test_wide_pairs_planes_adversarial():
 
 
 def test_pairs_default_seg_is_pairs_tuned():
-    """A no-arg pairs call must take the PAIRS-measured chunk length, not
-    the keys one (the keys 2^23 is a measured loser for pairs at 2^28 —
-    advisor r4 finding)."""
+    """A no-arg pairs call must take the PAIRS-measured chunk length
+    field, never silently inherit the keys field (advisor r4 finding;
+    since campaign 5 both MEASURE to 2^21, but the plumbing must keep
+    them independent — the wide seg differs)."""
     from gpusorting_tpu.core import config
 
     r = config.get_routing_parameters()
     assert rangesweep._default_seg_elems_pairs() == r.rangesweep_seg_elems_pairs
     assert (rangesweep._default_seg_elems_pairs(wide=True)
             == r.rangesweep_seg_elems_pairs_wide)
-    assert r.rangesweep_seg_elems_pairs != r.rangesweep_seg_elems
+    assert (r.rangesweep_seg_elems_pairs_wide
+            != r.rangesweep_seg_elems_pairs)
 
 
 def test_auto_engine_single_decision():
