@@ -17,6 +17,13 @@ a real chip.
      the env var; this script checks whichever mode the env selects).
 
 Sections select with argv, e.g. `hw_r4_validation.py segsort entropy`.
+
+
+HISTORICAL (round 4): section (a) exercises the host entropy peek
+(radix._entropy_tile_hint), which round 5 DELETED after the A/B
+reversal — this script documents the r4 campaign and no longer runs at
+HEAD.  The entropy signature now comes from rangesweep's on-device
+constant-block skip (hw_r5_campaign7).
 """
 
 import json

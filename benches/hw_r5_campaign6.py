@@ -92,7 +92,7 @@ def auto_pairs(k):
 
 def auto_argsort(k):
     sk, perm = gst.argsort(k, return_keys=True)
-    return codec.encode_keys(sk) ^ perm
+    return codec.encode_keys(sk) ^ perm.astype(jnp.uint32)
 
 
 def main():

@@ -375,20 +375,11 @@ class RoutingParameters:
     ffx_tile_rows: int = 256
     segsort_bulk_max: int = 4096
     segsort_padded_max: int = 131072
-    # entropy auto-route (VERDICT r3 weak #3): heavily-skewed digit
-    # distributions MAY route the native radix engines to a smaller tile
-    # where the tile-occupancy skip bites.  DEFAULT OFF (None): the
-    # round-3 "+6% at tile 512 on E020" did not reproduce in the round-4
-    # careful A/B — tile 512 measured 0.86x tile 2048 on E020 at 2^24
-    # (benches/logs/hw_entropy_ab_r4.log; batch 36 x 3 repeats,
-    # interleaved, tight spreads).  Routing is measured-only: set this to
-    # a tile (e.g. 512) to re-enable after a winning re-measurement;
-    # the peek/decision machinery is verified correct either way
-    # (hw_r4_validation.log entropy_route_decision).
-    # entropy_peek_min gates the host sample peek to sizes where a
-    # potential win would exceed the peek cost.
-    entropy_tile_rows: int | None = None
-    entropy_peek_min: int = 1 << 22
+    # (round 5) the round-3/4 entropy tile-reroute fields
+    # (entropy_tile_rows / entropy_peek_min) were deleted with the host
+    # peek: the r4 A/B reversed the r3 win (hw_entropy_ab_r4.log) and the
+    # low-entropy speedup now comes from rangesweep's on-device
+    # constant-block skip instead.
     # multi-class segsort gate: the per-class extract/sort/expand route
     # runs only when the extracted (non-bulk) mass fraction is at most
     # this — extraction costs ~6 whole-array passes, so majority-

@@ -28,8 +28,6 @@ docs/COST_SHEETS.md carry the measured story.
 
 from __future__ import annotations
 
-import os as _os
-
 import jax.numpy as jnp
 import numpy as np
 
@@ -37,67 +35,12 @@ from ..core import codec
 from ..core.config import Order
 from . import bitonic, xla_sort
 
-# entropy auto-routing (VERDICT r3 weak #3): default-on host peek that
-# routes heavily-skewed digit distributions to the measured small tile
-_ENTROPY_ROUTE = _os.environ.get("GST_ENTROPY_ROUTE", "1") == "1"
-# variants whose engines consume the radix tile (and carry the
-# tile-occupancy skip the small tile exploits)
-_TILED_VARIANTS = ("device_radix", "radix16", "splitsweep",
-                   "emulated_deadlocking")
-
-
-def _entropy_tile_hint(codes) -> int | None:
-    """Tile override for heavily-skewed digit distributions, else None.
-
-    The reference family's signature property is that LOW-entropy inputs
-    sort FASTER (README.md:25-27): with few occupied digit buckets, the
-    per-tile occupancy skip removes most placement work.  On v5e that
-    curve appears at tile 512 (E020 12% faster than uniform) and is flat
-    at the production tile 2048 (every bucket occupied per 262144-key
-    tile) — so skew must ROUTE to the small tile to be felt through the
-    public API (VERDICT r3 weak #3: the knob was manual).
-
-    Detector: a ~2048-element stride sample fetched to the host (a few us
-    on a local attachment; ~30 ms through this rig's tunnel, which is why
-    entropy_peek_min gates it to big sorts), reduced to per-position
-    4-bit MODE concentration — the direct proxy for per-tile bucket
-    emptiness, which is what the occupancy skip exploits.  Skew = >= 2 of
-    the 8 digit positions put >= 50% of samples in one bucket: uniform
-    sits at ~7% per bucket; Thearling-Smith E033/E020 put 77%/88% of
-    every position's mass at nibble 0.  Traced inputs (under jit) skip
-    the peek and keep the static default — sampling is a host decision,
-    exactly like the reference's host-side tuner.
-    """
-    from ..core.config import get_routing_parameters
-
-    r = get_routing_parameters()
-    n = codes.shape[0]
-    # no routed tile configured (the round-4 measured default: tile 512
-    # did NOT beat 2048 on E020 — hw_entropy_ab_r4.log): skip the peek
-    # entirely, it would cost a host fetch for nothing
-    if r.entropy_tile_rows is None or n < r.entropy_peek_min:
-        return None
-    try:
-        sample = np.asarray(codes[:: max(1, n // 2048)])
-    except Exception:  # traced under jit / fetch unavailable
-        return None
-    skewed_positions = 0
-    for p in range(8):
-        nib = (sample >> np.uint32(4 * p)) & np.uint32(15)
-        mode = np.bincount(nib.astype(np.int64), minlength=16).max()
-        if mode >= sample.size // 2:
-            skewed_positions += 1
-    if skewed_positions >= 2:
-        return r.entropy_tile_rows
-    return None
-
-
-def _auto_tile(codes, variant: str, tile_rows: int | None) -> int | None:
-    """Resolve the tile: explicit override > entropy route > tuner."""
-    if tile_rows is not None or variant not in _TILED_VARIANTS \
-            or not _ENTROPY_ROUTE:
-        return tile_rows
-    return _entropy_tile_hint(codes)
+# The round-3/4 entropy host-peek (tile reroute for skewed digit
+# distributions) was deleted in round 5: the careful A/B reversed its win
+# (hw_entropy_ab_r4.log) and the duplication exploit now lives ON DEVICE
+# in the shipping engine instead (rangesweep's constant-block skip,
+# ops/rangesweep.sort_codes_rangesweep entropy_skip) — no host fetch, no
+# routed-tile guess.  Manual tile overrides remain via tile_rows=/tuning=.
 
 
 def is_native() -> bool:
@@ -155,7 +98,6 @@ def sort(keys: jnp.ndarray, order: Order = Order.ASCENDING, variant: str = "ones
     """
     kt = codec.key_type_of(keys)
     codes = codec.encode_keys(keys)
-    tile_rows = _auto_tile(codes, variant, tile_rows)
     if variant == "device_radix":
         # the 3-phase reduce-then-scan pipeline (DeviceRadixSort analog)
         from . import rts
@@ -215,7 +157,6 @@ def sort_codes_with_rides(codes: jnp.ndarray, rides: tuple, variant: str,
     Returns (sorted_codes, *permuted_rides), bit-exact with
     jax.lax.sort((codes, *rides), is_stable=True).
     """
-    tile_rows = _auto_tile(codes, variant, tile_rows)
     if variant == "device_radix":
         from . import rts
         from .radix16 import _default_tile_rows

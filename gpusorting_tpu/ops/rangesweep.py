@@ -507,12 +507,24 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
                           seg_elems: int | None = None,
                           interpret: bool | None = None,
                           method: str = "dma",
-                          cuts: str | None = None) -> jnp.ndarray:
+                          cuts: str | None = None,
+                          entropy_skip: bool = True) -> jnp.ndarray:
     """Ascending keys-only sort of u32 codes via the range exchange.
 
     method: "dma" (measured default — the Pallas relocate kernel) or
     "gather" (the measured-loser probe arm); see `_range_exchange`.
     cuts: None (auto by K) / "bisect" / "hier" — see `_cuts`.
+
+    entropy_skip: the duplication exploit (the reference's low-entropy
+    speedup signature, README.md:25-27 / Tests.h:370-419, by a TPU-native
+    mechanism): both mapped phases reduce each block to min/max first
+    (a cheap VMEM-resident pass) and `lax.cond` away the sort when the
+    block is CONSTANT — legal for keys only (equal codes are
+    interchangeable; the pairs pipeline still owes an index sort).
+    Low-entropy inputs concentrate mass on few values (E020's most
+    common value covers ~36% of keys -> ~1/3 of phase-3 buckets are
+    constant; all-equal inputs skip every block), so the curve bends
+    the reference's way while uniform inputs pay only the reduction.
     """
     if method not in ("gather", "dma"):
         raise ValueError(f"unknown method {method!r}")
@@ -535,10 +547,19 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
 
     from . import xla_sort
 
+    def _maybe_sort(r):
+        if not entropy_skip:
+            return xla_sort.sort_all_keys_unstable((r,))[0]
+        return jax.lax.cond(
+            jnp.min(r) == jnp.max(r),
+            lambda rr: rr,
+            lambda rr: xla_sort.sort_all_keys_unstable((rr,))[0],
+            r)
+
     # phase 1: mapped VMEM-resident chunk sorts (row heads ride out
     # fused — the hier cuts consume them without touching the big array)
     def _p1(r):
-        s = xla_sort.sort_all_keys_unstable((r,))[0]
+        s = _maybe_sort(r)
         return s, s.reshape(-1, LANES)[:, 0]
 
     x2, heads = jax.lax.map(_p1, x.reshape(K, L))
@@ -547,8 +568,7 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
     (out,) = _range_exchange((x2.reshape(-1),), bounds, K, L, interpret,
                              method=method)
     # phase 3: mapped dense-bucket sorts — the same shape as phase 1
-    res = jax.lax.map(lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
-                      out.reshape(K, L))
+    res = jax.lax.map(_maybe_sort, out.reshape(K, L))
     return res.reshape(-1)[:n]
 
 

@@ -540,10 +540,35 @@ def _composite_multi(seg_offsets, codes, payloads: tuple, seg_count: int,
     seg_bits = _ceil_log2(seg_count) + 1
     if seg_bits + bits_to_sort <= 32:
         comp = (seg_ids << jnp.uint32(bits_to_sort)) | codes
+        mask = jnp.uint32((1 << bits_to_sort) - 1)
+        # flagship-size fused composites ride the rangesweep engine (the
+        # round-5 midrange shot: at n above the measured crossover the
+        # flat oracle loses 19-26% — hw_r5_campaign5/6; codes recover
+        # from the sorted composite as comp & mask, payloads ride the
+        # stable plane pipeline).  The 2-key branch below cannot route:
+        # rangesweep's equal-run split is only exact for (code, index)
+        # composites (ordered by construction), not (segid, code) —
+        # see PARITY.md segsort midrange note.
+        from ..core.config import Mode, auto_engine
+
         if not payloads:
+            if auto_engine(n) == "rangesweep":
+                from ..ops import rangesweep
+
+                return (rangesweep.sort_codes_rangesweep(comp) & mask), ()
             # equal comp implies equal codes: all operands are keys
             _, sc = xla_sort.sort_all_keys_unstable((comp, codes))
             return sc, ()
+        if auto_engine(n, Mode.PAIRS,
+                       payload_bits=64 if len(payloads) > 1 else 32
+                       ) == "rangesweep":
+            from ..ops import rangesweep
+
+            res = rangesweep.sort_pairs_rangesweep_planes(
+                comp, tuple(payloads),
+                seg_elems=rangesweep._default_seg_elems_pairs(
+                    wide=len(payloads) > 1))
+            return (res[0] & mask), tuple(res[1:])
         res = jax.lax.sort((comp, codes) + payloads, num_keys=1,
                            is_stable=True)
         return res[1], tuple(res[2:])

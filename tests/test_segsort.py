@@ -828,3 +828,36 @@ def test_multi_class_under_jit_with_plan(monkeypatch):
         np.testing.assert_array_equal(np.asarray(sv), ref_v)
     finally:
         gst.clear_routing_override()
+
+
+def test_composite_fused_rangesweep_route():
+    """Flagship-size fused composites route through the rangesweep
+    engine (round-5 midrange shot): forced-route output is bit-exact
+    with the XLA composite for 0/1/2 payload planes (2 planes = the
+    64-bit payload form)."""
+    import gpusorting_tpu as gst
+    from gpusorting_tpu.core import config as cfg
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.segsort import splitsort
+
+    n, bits = 40_000, 12
+    offs, S = prng.make_random_segments(n, 512, seed=3)
+    codes = prng.hybrid_taus_bits(n, seed=5) & jnp.uint32((1 << bits) - 1)
+    pay1 = prng.hybrid_taus_bits(n, seed=6)
+    pay2 = prng.hybrid_taus_bits(n, seed=7)
+    real_auto = cfg.auto_engine
+    for payloads in ((), (pay1,), (pay1, pay2)):
+        want = splitsort._composite_multi(offs, codes, payloads, S, bits)
+        cfg.set_routing_override(gst.RoutingParameters(
+            rangesweep_seg_elems=1024, rangesweep_seg_elems_pairs=1024,
+            rangesweep_seg_elems_pairs_wide=1024))
+        cfg.auto_engine = lambda *a, **k: "rangesweep"
+        try:
+            got = splitsort._composite_multi(offs, codes, payloads, S, bits)
+        finally:
+            cfg.auto_engine = real_auto
+            cfg.clear_routing_override()
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want[0]))
+        for g, w in zip(got[1], want[1]):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -179,38 +179,20 @@ def test_ffx_pipeline_exact():
     np.testing.assert_array_equal(np.asarray(sv), np.asarray(rv))
 
 
-def test_entropy_tile_hint_detector():
-    """The skew DETECTOR routes correctly when a tile is configured;
-    the measured DEFAULT is off (tile 512 ran 0.86x tile 2048 on E020 in
-    the round-4 A/B — hw_entropy_ab_r4.log), so the stock hint is None
-    and the peek is skipped entirely; jit tracers skip the peek too."""
-    import jax
-    import gpusorting_tpu as gst
-    from gpusorting_tpu.core import config as cfg, prng
-    from gpusorting_tpu.ops import radix
+def test_entropy_skip_oracle():
+    """The duplication exploit (rangesweep constant-block skip — the
+    round-5 replacement for the deleted round-3/4 host tile-peek) stays
+    oracle-exact on skewed inputs, and skip-on == skip-off bit-exactly;
+    keys only (equal codes interchangeable)."""
+    from gpusorting_tpu.core import prng
+    from gpusorting_tpu.ops import rangesweep
 
-    n = cfg.get_routing_parameters().entropy_peek_min
-    uniform = prng.hybrid_taus_bits(n, seed=1)
-    skewed = prng.hybrid_taus_bits(n, seed=2, and_count=4)  # E020
-    # measured default: route off, no peek
-    assert cfg.get_routing_parameters().entropy_tile_rows is None
-    assert radix._entropy_tile_hint(skewed) is None
-
-    cfg.set_routing_override(gst.RoutingParameters(entropy_tile_rows=512))
-    try:
-        assert radix._entropy_tile_hint(uniform) is None
-        assert radix._entropy_tile_hint(skewed) == 512
-        # below the peek threshold: no fetch, no override
-        assert radix._entropy_tile_hint(skewed[: n // 2]) is None
-        # explicit tile always wins; non-tiled variants never peek
-        assert radix._auto_tile(skewed, "device_radix", 1024) == 1024
-        assert radix._auto_tile(skewed, "onesweep", None) is None
-
-        # traced input: the peek degrades to the static default, silently
-        def f(x):
-            return radix._auto_tile(x, "device_radix", None)
-
-        assert jax.jit(f, static_argnums=())(skewed) is None \
-            or jax.eval_shape(f, skewed) is None
-    finally:
-        cfg.clear_routing_override()
+    n, L = 40_000, 1024
+    for x in (prng.hybrid_taus_bits(n, seed=2, and_count=4),  # E020
+              jnp.full((n,), jnp.uint32(0xABCD1234))):
+        on = np.asarray(rangesweep.sort_codes_rangesweep(
+            x, seg_elems=L, entropy_skip=True))
+        off = np.asarray(rangesweep.sort_codes_rangesweep(
+            x, seg_elems=L, entropy_skip=False))
+        np.testing.assert_array_equal(on, np.sort(np.asarray(x)))
+        np.testing.assert_array_equal(on, off)
