@@ -75,10 +75,11 @@ def main():
         # enough iterations that the timed loop dwarfs harness noise
         return int(max(3, min(20000, (1 << 28) // max(n, 1))))
 
-    # GST_SUITE_SECTIONS: comma list to run a subset (xla,native,segsort);
-    # default all — lets a crashed run resume without repeating sections
+    # GST_SUITE_SECTIONS: comma list to run a subset
+    # (xla,native,rangesweep,segsort); default all — lets a crashed run
+    # resume without repeating sections
     sections = set((os.environ.get("GST_SUITE_SECTIONS") or
-                    "xla,native,segsort").split(","))
+                    "xla,native,rangesweep,segsort").split(","))
 
     # --- size sweep, keys-only u32, XLA engine (flagship path) ---
     size_points = ([10, 14, 18, 20, 22, 24, 26]
@@ -149,6 +150,34 @@ def main():
             repeats=3)
         emit("ffx_baseline_keys_2^24", res, n,
              {"engine": "pallas_ffx_5stage"})
+
+    # --- rangesweep flagship family (round 5): the engine AUTO ships
+    #     above the measured crossovers, at the headline size ---
+    if on_tpu and "rangesweep" in sections:
+        from gpusorting_tpu.ops import rangesweep as rsw
+        n = 1 << 28
+        res = timed(lambda c: rsw.sort_codes_rangesweep(c), n, batch=3,
+                    seed=10, repeats=2)
+        emit("rangesweep_keys_2^28", res, n, {"engine": "rangesweep"})
+        res = timed(lambda c: rsw.sort_codes_rangesweep(c), n, batch=3,
+                    seed=10, entropy=EntropyPreset.E020, repeats=2)
+        emit("rangesweep_keys_2^28_E020", res, n,
+             {"engine": "rangesweep", "preset": 5,
+              "mechanism": "constant-block skip"})
+        res = timed(lambda c: rsw.sort_pairs_rangesweep(c, c)[0], n,
+                    batch=3, seed=10, repeats=2)
+        emit("rangesweep_pairs_2^28", res, n, {"engine": "rangesweep"})
+        res = timed(lambda c: rsw.argsort_rangesweep(c)[0], n, batch=3,
+                    seed=10, repeats=2)
+        emit("rangesweep_argsort_2^28", res, n,
+             {"engine": "rangesweep", "planes": 2})
+        res = timed(
+            lambda c: rsw.sort_pairs_rangesweep_planes(
+                c, (c ^ jnp.uint32(0x9E3779B9), c ^ jnp.uint32(0x85EBCA6B)),
+                seg_elems=rsw._default_seg_elems_pairs(wide=True))[0],
+            n, batch=3, seed=10, repeats=2)
+        emit("rangesweep_wide_pairs_2^28", res, n,
+             {"engine": "rangesweep", "planes": 4})
 
     # --- segmented sort sweep (fixed-length bins; Kobus-style) ---
     total = 1 << 22 if on_tpu else 1 << 14
