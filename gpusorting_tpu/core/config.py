@@ -424,11 +424,11 @@ class RoutingParameters:
     # — set per generation by hardware measurement only
     # (benches/hw_r5_campaign3.py K rows).
     rangesweep_min_pairs_wide: int | None = None
-    # 4-plane phase-1 chunk length: the isolated mapped-phase rates said
-    # 2^21 (636.7 vs 711.8 ms, hw_r5_campaign2.log G) but END-TO-END the
-    # K^2 phase-2 cost flips it — measured full engine at 2^28:
-    # seg 2^22 = 1535.9 ms vs 2^21 = 1545.6 (hw_r5_campaign3.log K rows).
-    rangesweep_seg_elems_pairs_wide: int = 1 << 22
+    # 4-plane phase-1 chunk length: the K^2 bisect cuts made 2^22 win
+    # end-to-end (1535.9 vs 1545.6 — campaign3 K); the hierarchical cuts
+    # restore the phase-rate ordering: 2^21 = 1390.2 ms vs 2^22 = 1503.6
+    # at 2^28 (hw_r5_campaign5 T / campaign6 V rows).
+    rangesweep_seg_elems_pairs_wide: int = 1 << 21
     # smallest ARGSORT n AUTO routes through the 2-plane rangesweep fast
     # path (ops/rangesweep.argsort_rangesweep — payload == index
     # collapses the pairs pipeline to two planes); None disables.  Its

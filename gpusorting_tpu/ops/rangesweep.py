@@ -98,7 +98,8 @@ def _default_seg_elems_index() -> int:
     return get_routing_parameters().rangesweep_seg_elems_index
 
 
-def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
+def _exact_cuts(x2: jnp.ndarray, K: int, L: int,
+                return_splitters: bool = False):
     """(K, K+1) per-chunk cut positions making bucket b exactly L elements.
 
     x2 is (K, L) with sorted u32 rows.  32-step bisection over the value
@@ -132,11 +133,15 @@ def _exact_cuts(x2: jnp.ndarray, K: int, L: int) -> jnp.ndarray:
     cuts = c + take                                  # (K, K-1)
     zeros = jnp.zeros((K, 1), jnp.int32)
     full = jnp.full((K, 1), L, jnp.int32)
-    return jnp.concatenate([zeros, cuts, full], axis=1)  # (K, K+1)
+    bounds = jnp.concatenate([zeros, cuts, full], axis=1)  # (K, K+1)
+    if return_splitters:
+        return bounds, v
+    return bounds
 
 
 def _exact_cuts_hier(x2: jnp.ndarray, K: int, L: int,
-                     heads: jnp.ndarray | None = None) -> jnp.ndarray:
+                     heads: jnp.ndarray | None = None,
+                     return_splitters: bool = False):
     """(K, K+1) cut positions, bit-identical to `_exact_cuts`, computed
     hierarchically so the cost stays flat as K grows.
 
@@ -233,7 +238,10 @@ def _exact_cuts_hier(x2: jnp.ndarray, K: int, L: int,
     cuts = c + take
     zeros = jnp.zeros((K, 1), jnp.int32)
     full = jnp.full((K, 1), L, jnp.int32)
-    return jnp.concatenate([zeros, cuts, full], axis=1)
+    bounds = jnp.concatenate([zeros, cuts, full], axis=1)
+    if return_splitters:
+        return bounds, v
+    return bounds
 
 
 # smallest K where the head-window cuts beat the flat bisection; the
@@ -247,19 +255,24 @@ _CUTS_HIER_MIN_K: int | None = 64
 
 
 def _cuts(x2: jnp.ndarray, K: int, L: int, method: str | None = None,
-          heads: jnp.ndarray | None = None) -> jnp.ndarray:
+          heads: jnp.ndarray | None = None,
+          return_splitters: bool = False):
     """Cut-computation dispatch: "bisect" = the flat value bisection
     (cheapest at small K), "hier" = the head-window scheme (flat in K),
     None = auto by K (`_CUTS_HIER_MIN_K`).  Both produce identical cuts
-    (tests/test_rangesweep.py equality sweep)."""
+    (tests/test_rangesweep.py equality sweep).  return_splitters=True
+    also returns the (K-1,) boundary values v (v[j] = the value of
+    global rank (j+1)*L - 1, i.e. bucket j's LAST element) — free, both
+    impls compute them."""
     if method is None:
         method = ("hier" if _CUTS_HIER_MIN_K is not None
                   and K >= _CUTS_HIER_MIN_K else "bisect")
     if method == "hier":
-        return _exact_cuts_hier(x2, K, L, heads=heads)
+        return _exact_cuts_hier(x2, K, L, heads=heads,
+                                return_splitters=return_splitters)
     if method != "bisect":
         raise ValueError(f"unknown cuts method {method!r}")
-    return _exact_cuts(x2, K, L)
+    return _exact_cuts(x2, K, L, return_splitters=return_splitters)
 
 
 def _relocate_kernel(ctrl_ref, src_ref, fringe_ref, out_ref, sem, *,

@@ -224,16 +224,26 @@ def test_wide_pairs_planes_adversarial():
 def test_pairs_default_seg_is_pairs_tuned():
     """A no-arg pairs call must take the PAIRS-measured chunk length
     field, never silently inherit the keys field (advisor r4 finding;
-    since campaign 5 both MEASURE to 2^21, but the plumbing must keep
-    them independent — the wide seg differs)."""
+    since campaign 5/6 all three MEASURE to 2^21, so independence is
+    proven through an override with distinct values)."""
+    import gpusorting_tpu as gst
     from gpusorting_tpu.core import config
 
     r = config.get_routing_parameters()
     assert rangesweep._default_seg_elems_pairs() == r.rangesweep_seg_elems_pairs
     assert (rangesweep._default_seg_elems_pairs(wide=True)
             == r.rangesweep_seg_elems_pairs_wide)
-    assert (r.rangesweep_seg_elems_pairs_wide
-            != r.rangesweep_seg_elems_pairs)
+    config.set_routing_override(gst.RoutingParameters(
+        rangesweep_seg_elems=1 << 10, rangesweep_seg_elems_pairs=1 << 11,
+        rangesweep_seg_elems_pairs_wide=1 << 12,
+        rangesweep_seg_elems_index=1 << 13))
+    try:
+        assert rangesweep._default_seg_elems() == 1 << 10
+        assert rangesweep._default_seg_elems_pairs() == 1 << 11
+        assert rangesweep._default_seg_elems_pairs(wide=True) == 1 << 12
+        assert rangesweep._default_seg_elems_index() == 1 << 13
+    finally:
+        config.clear_routing_override()
 
 
 def test_auto_engine_single_decision():
