@@ -223,7 +223,7 @@ def autotune_rangesweep(
     batch: int = 2,
     seed: int = 10,
     install: bool = False,
-    seg_candidates_keys: tuple[int, ...] = (1 << 23, 1 << 22),
+    seg_candidates_keys: tuple[int, ...] = (1 << 22, 1 << 21),
     seg_candidates_pairs: tuple[int, ...] = (1 << 22, 1 << 21),
 ):
     """Measure the flagship rangesweep crossovers on the live device.
