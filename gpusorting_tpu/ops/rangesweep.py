@@ -521,7 +521,7 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
                           interpret: bool | None = None,
                           method: str = "dma",
                           cuts: str | None = None,
-                          entropy_skip: bool = True) -> jnp.ndarray:
+                          entropy_skip: bool = False) -> jnp.ndarray:
     """Ascending keys-only sort of u32 codes via the range exchange.
 
     method: "dma" (measured default — the Pallas relocate kernel) or
@@ -529,15 +529,19 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
     cuts: None (auto by K) / "bisect" / "hier" — see `_cuts`.
 
     entropy_skip: the duplication exploit (the reference's low-entropy
-    speedup signature, README.md:25-27 / Tests.h:370-419, by a TPU-native
-    mechanism): both mapped phases reduce each block to min/max first
-    (a cheap VMEM-resident pass) and `lax.cond` away the sort when the
-    block is CONSTANT — legal for keys only (equal codes are
+    speedup signature, README.md:25-27 / Tests.h:370-419).  Interior
+    bucket b is provably CONSTANT whenever adjacent cut splitters are
+    equal (v[b-1] == v[b]); a per-bucket `lax.cond` inside the phase-3
+    map skips those sorts, gated behind one scalar cond requiring
+    >= 90% of interior buckets flagged.  MEASURED WALL — DEFAULT OFF
+    (hw_r5_campaign7/9): a cond inside the mapped body costs ~+120 ms
+    at 2^28 regardless of the branch taken (it breaks XLA's map
+    pipelining), so per-bucket skipping loses at every entropy preset
+    (E100 517.0 vs 395.1 skip-off; even E020 440.4 vs 407.5) and pays
+    only when nearly everything skips (all-equal ~2x, 121 vs 250 ms).
+    Opt IN when the workload is known near-constant; COST_SHEETS
+    Sheet 5 Wall B has the analysis.  Keys only (equal codes are
     interchangeable; the pairs pipeline still owes an index sort).
-    Low-entropy inputs concentrate mass on few values (E020's most
-    common value covers ~36% of keys -> ~1/3 of phase-3 buckets are
-    constant; all-equal inputs skip every block), so the curve bends
-    the reference's way while uniform inputs pay only the reduction.
     """
     if method not in ("gather", "dma"):
         raise ValueError(f"unknown method {method!r}")
@@ -560,28 +564,45 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
 
     from . import xla_sort
 
-    def _maybe_sort(r):
-        if not entropy_skip:
-            return xla_sort.sort_all_keys_unstable((r,))[0]
-        return jax.lax.cond(
-            jnp.min(r) == jnp.max(r),
-            lambda rr: rr,
-            lambda rr: xla_sort.sort_all_keys_unstable((rr,))[0],
-            r)
-
     # phase 1: mapped VMEM-resident chunk sorts (row heads ride out
     # fused — the hier cuts consume them without touching the big array)
     def _p1(r):
-        s = _maybe_sort(r)
+        s = xla_sort.sort_all_keys_unstable((r,))[0]
         return s, s.reshape(-1, LANES)[:, 0]
 
     x2, heads = jax.lax.map(_p1, x.reshape(K, L))
     # phase 2: exact cuts + range exchange (dense buckets, flat (N,))
-    bounds = _cuts(x2, K, L, method=cuts, heads=heads)
+    bounds, v = _cuts(x2, K, L, method=cuts, heads=heads,
+                      return_splitters=True)
     (out,) = _range_exchange((x2.reshape(-1),), bounds, K, L, interpret,
                              method=method)
-    # phase 3: mapped dense-bucket sorts — the same shape as phase 1
-    res = jax.lax.map(_maybe_sort, out.reshape(K, L))
+
+    # phase 3: mapped dense-bucket sorts — the same shape as phase 1.
+    # Interior bucket b is provably constant iff v[b-1] == v[b] (its
+    # first element >= the left splitter, its last IS the right one);
+    # edge buckets stay conservative (always sorted).
+    def _plain(o):
+        return jax.lax.map(
+            lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
+            o.reshape(K, L))
+
+    if entropy_skip and K > 2:
+        flags = jnp.zeros((K,), jnp.bool_).at[1:K - 1].set(v[:-1] == v[1:])
+
+        def _skipping(o):
+            def _p3(t):
+                r, f = t
+                return jax.lax.cond(
+                    f, lambda rr: rr,
+                    lambda rr: xla_sort.sort_all_keys_unstable((rr,))[0], r)
+
+            return jax.lax.map(_p3, (o.reshape(K, L), flags))
+
+        frac_hi = (jnp.sum(flags[1:K - 1].astype(jnp.int32))
+                   >= jnp.int32(int(0.9 * (K - 2))))
+        res = jax.lax.cond(frac_hi, _skipping, _plain, out)
+    else:
+        res = _plain(out)
     return res.reshape(-1)[:n]
 
 
