@@ -468,8 +468,8 @@ _ROUTING_TABLE = {
     # campaign 5.  WIDE non-pow2 follows the keys/pairs mechanism:
     # 1145.8 vs 1356.4 at 3*2^26, 951.4 vs 1177.3 at 2^27+2^25
     # (campaign-4 K2) -> (1<<27)+1.
-    "v5e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                             rangesweep_min_pairs=(1 << 27) + 1,
+    "v5e": RoutingParameters(rangesweep_min=1 << 27,
+                             rangesweep_min_pairs=1 << 27,
                              rangesweep_min_pairs_wide=(1 << 27) + 1,
                              rangesweep_min_index=1 << 25,
                              measured=True),
@@ -478,16 +478,16 @@ _ROUTING_TABLE = {
     # crossover down if anything, which only costs peak, not correctness).
     # rangesweep_min stays conservative (the measured v5e crossover) on
     # unmeasured parts: below it the route merely falls back to XLA.
-    "v5p": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                             rangesweep_min_pairs=(1 << 27) + 1,
+    "v5p": RoutingParameters(rangesweep_min=1 << 27,
+                             rangesweep_min_pairs=1 << 27,
                              rangesweep_min_pairs_wide=(1 << 27) + 1,
                              rangesweep_min_index=1 << 25),
-    "v6e": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                             rangesweep_min_pairs=(1 << 27) + 1,
+    "v6e": RoutingParameters(rangesweep_min=1 << 27,
+                             rangesweep_min_pairs=1 << 27,
                              rangesweep_min_pairs_wide=(1 << 27) + 1,
                              rangesweep_min_index=1 << 25),
-    "v4": RoutingParameters(rangesweep_min=(1 << 27) + 1,
-                            rangesweep_min_pairs=(1 << 27) + 1,
+    "v4": RoutingParameters(rangesweep_min=1 << 27,
+                            rangesweep_min_pairs=1 << 27,
                             rangesweep_min_pairs_wide=(1 << 27) + 1,
                             rangesweep_min_index=1 << 25),
 }

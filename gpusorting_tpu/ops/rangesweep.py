@@ -521,7 +521,7 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
                           interpret: bool | None = None,
                           method: str = "dma",
                           cuts: str | None = None,
-                          entropy_skip: bool = False) -> jnp.ndarray:
+                          entropy_skip: bool = True) -> jnp.ndarray:
     """Ascending keys-only sort of u32 codes via the range exchange.
 
     method: "dma" (measured default — the Pallas relocate kernel) or
@@ -533,13 +533,13 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
     bucket b is provably CONSTANT whenever adjacent cut splitters are
     equal (v[b-1] == v[b]); a per-bucket `lax.cond` inside the phase-3
     map skips those sorts, gated behind one scalar cond requiring
-    >= 90% of interior buckets flagged.  MEASURED WALL — DEFAULT OFF
-    (hw_r5_campaign7/9): a cond inside the mapped body costs ~+120 ms
-    at 2^28 regardless of the branch taken (it breaks XLA's map
-    pipelining), so per-bucket skipping loses at every entropy preset
-    (E100 517.0 vs 395.1 skip-off; even E020 440.4 vs 407.5) and pays
-    only when nearly everything skips (all-equal ~2x, 121 vs 250 ms).
-    Opt IN when the workload is known near-constant; COST_SHEETS
+    >= 90% of interior buckets flagged.  MEASURED (hw_r5_campaign7/9):
+    a cond inside the mapped body costs ~+120 ms at 2^28 regardless of
+    the branch taken (it breaks XLA's map pipelining), so the UNGATED
+    per-bucket form loses at every entropy preset — but the OUTER
+    scalar cond is free (E100 adaptive 391.6 vs 395.6 plain; E020
+    404.7 vs 407.5) and near-constant inputs take the skipping branch
+    and win 2.08x (all-equal 120.0 vs 249.2).  DEFAULT ON.  COST_SHEETS
     Sheet 5 Wall B has the analysis.  Keys only (equal codes are
     interchangeable; the pairs pipeline still owes an index sort).
     """

@@ -267,18 +267,18 @@ def test_auto_engine_single_decision():
     finally:
         config.clear_routing_override()
     # table-path decisions with an explicit TPU info (v5e row, all
-    # hardware-measured: keys AND pairs AND wide (1<<27)+1 — the flat
-    # oracle pads non-pow2 sorts (hw_r5_campaign2 F, campaign3 L,
-    # campaign4 K2 rows); argsort 2^25 — wins at the pow2 sizes too
-    # (campaign3 J, campaign4 J2))
+    # hardware-measured: keys AND pairs 2^27 INCLUSIVE — the hier cuts
+    # flipped the pow2-2^27 losses (keys 194.9 vs 208.1, pairs 546.2 vs
+    # 585.9 — campaign9 P2); wide (1<<27)+1 (campaign4 K2, pow2 2^27
+    # unmeasured); argsort 2^25 (campaign3 J, campaign4 J2))
     assert config.auto_engine(1 << 28, info=info_tpu) == "rangesweep"
-    assert config.auto_engine((1 << 27) + 1, info=info_tpu) == "rangesweep"
-    assert config.auto_engine(1 << 27, info=info_tpu) == "xla"
+    assert config.auto_engine(1 << 27, info=info_tpu) == "rangesweep"
+    assert config.auto_engine((1 << 27) - 1, info=info_tpu) == "xla"
     assert config.auto_engine(1 << 28, config.Mode.PAIRS,
                               info=info_tpu) == "rangesweep"
-    assert config.auto_engine((1 << 27) + 1, config.Mode.PAIRS,
-                              info=info_tpu) == "rangesweep"
     assert config.auto_engine(1 << 27, config.Mode.PAIRS,
+                              info=info_tpu) == "rangesweep"
+    assert config.auto_engine((1 << 27) - 1, config.Mode.PAIRS,
                               info=info_tpu) == "xla"
     assert config.auto_engine((1 << 27) + 1, config.Mode.PAIRS,
                               payload_bits=64,
