@@ -113,12 +113,13 @@ class Backend(enum.Enum):
     PALLAS  — hand-written Pallas TPU kernels, selected by `variant`
               (the explicit native-engine opt-in, ops/radix.py).
     AUTO    — the fastest measured correct engine for the platform and
-              size.  Since round 4 that is SIZE-DEPENDENT on TPU: sorts
-              at/above the generation's measured rangesweep crossover
-              (RoutingParameters.rangesweep_min / rangesweep_min_pairs)
+              size.  SIZE-DEPENDENT on TPU: sorts at/above the
+              generation's measured rangesweep crossovers
+              (RoutingParameters.rangesweep_min* — keys/pairs 2^27,
+              wide 2^27, argsort 2^25, non-pow2 pairs 3*2^25 on v5e)
               run the native range-exchange engine (ops/rangesweep.py,
-              441.4 vs 469.7 ms at 2^28 keys on v5e); everything below
-              runs the flat XLA sort.  The single decision function is
+              391.6 vs 469.7 ms at 2^28 keys); everything below runs
+              the flat XLA sort.  The single decision function is
               `auto_engine()` below.
     """
 
@@ -416,6 +417,11 @@ class RoutingParameters:
     # moved 2^22 -> 2^21 like keys (2^28 end-to-end: 1099.9 ms at 2^21
     # vs 1168.9 at 2^22 — hw_r5_campaign5.log S rows).
     rangesweep_seg_elems_pairs: int = 1 << 21
+    # smallest NON-pow2 stable-pairs n that routes native below
+    # rangesweep_min_pairs (the flat oracle pads non-pow2 sorts toward
+    # the next pow2; measured 431.0 vs 468.0 ms at 3*2^25 while pow2
+    # 2^26 loses — hw_r5_campaign10 F2); None disables the early band.
+    rangesweep_min_pairs_nonpow2: int | None = None
     # smallest 64-BIT-PAYLOAD stable-pairs n AUTO routes through the
     # 4-plane pairs rangesweep (codes + index + payload lo/hi planes
     # through one exchange plan); None disables.  The flat 64-bit oracle
@@ -470,7 +476,8 @@ _ROUTING_TABLE = {
     # (campaign-4 K2) -> (1<<27)+1.
     "v5e": RoutingParameters(rangesweep_min=1 << 27,
                              rangesweep_min_pairs=1 << 27,
-                             rangesweep_min_pairs_wide=(1 << 27) + 1,
+                             rangesweep_min_pairs_nonpow2=3 << 25,
+                             rangesweep_min_pairs_wide=1 << 27,
                              rangesweep_min_index=1 << 25,
                              measured=True),
     # v5p/v6e: same VMEM class as v5e, more bandwidth headroom — inherit
@@ -480,15 +487,18 @@ _ROUTING_TABLE = {
     # unmeasured parts: below it the route merely falls back to XLA.
     "v5p": RoutingParameters(rangesweep_min=1 << 27,
                              rangesweep_min_pairs=1 << 27,
-                             rangesweep_min_pairs_wide=(1 << 27) + 1,
+                             rangesweep_min_pairs_nonpow2=3 << 25,
+                             rangesweep_min_pairs_wide=1 << 27,
                              rangesweep_min_index=1 << 25),
     "v6e": RoutingParameters(rangesweep_min=1 << 27,
                              rangesweep_min_pairs=1 << 27,
-                             rangesweep_min_pairs_wide=(1 << 27) + 1,
+                             rangesweep_min_pairs_nonpow2=3 << 25,
+                             rangesweep_min_pairs_wide=1 << 27,
                              rangesweep_min_index=1 << 25),
     "v4": RoutingParameters(rangesweep_min=1 << 27,
                             rangesweep_min_pairs=1 << 27,
-                            rangesweep_min_pairs_wide=(1 << 27) + 1,
+                            rangesweep_min_pairs_nonpow2=3 << 25,
+                            rangesweep_min_pairs_wide=1 << 27,
                             rangesweep_min_index=1 << 25),
 }
 
@@ -581,6 +591,14 @@ def auto_engine(n: int, mode: Mode = Mode.KEYS_ONLY,
             m = r.rangesweep_min_pairs_wide
         else:
             m = r.rangesweep_min_pairs
+            # NON-pow2 sizes flip earlier: the flat oracle pads toward
+            # the next power of two while rangesweep pads only to the
+            # next seg multiple (431.0 vs 468.0 ms at 3*2^25 — campaign
+            # 10 F2; pow2 2^26 still loses 283.4 vs 260.7)
+            mn = r.rangesweep_min_pairs_nonpow2
+            if (mn is not None and n >= mn and n & (n - 1)
+                    and (m is None or n < m)):
+                return "rangesweep"
     else:
         m = r.rangesweep_min
     return "rangesweep" if (m is not None and n >= m) else "xla"

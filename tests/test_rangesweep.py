@@ -278,14 +278,20 @@ def test_auto_engine_single_decision():
                               info=info_tpu) == "rangesweep"
     assert config.auto_engine(1 << 27, config.Mode.PAIRS,
                               info=info_tpu) == "rangesweep"
+    # (1<<27)-1 is NON-pow2 and inside the measured non-pow2 pairs band
     assert config.auto_engine((1 << 27) - 1, config.Mode.PAIRS,
-                              info=info_tpu) == "xla"
-    assert config.auto_engine((1 << 27) + 1, config.Mode.PAIRS,
-                              payload_bits=64,
                               info=info_tpu) == "rangesweep"
     assert config.auto_engine(1 << 27, config.Mode.PAIRS,
                               payload_bits=64,
-                              info=info_tpu) == "xla"  # wide min (1<<27)+1
+                              info=info_tpu) == "rangesweep"
+    assert config.auto_engine((1 << 27) - 1, config.Mode.PAIRS,
+                              payload_bits=64,
+                              info=info_tpu) == "xla"  # wide min 2^27
+    # non-pow2 pairs band: 3*2^25 routes, pow2 2^26 does not
+    assert config.auto_engine(3 << 25, config.Mode.PAIRS,
+                              info=info_tpu) == "rangesweep"
+    assert config.auto_engine(1 << 26, config.Mode.PAIRS,
+                              info=info_tpu) == "xla"
     assert config.auto_engine(1 << 25, config.Mode.PAIRS,
                               index_payload=True,
                               info=info_tpu) == "rangesweep"
