@@ -392,12 +392,13 @@ class RoutingParameters:
     # smallest keys-only n AUTO routes through the rangesweep engine
     # (ops/rangesweep.py) instead of the flat XLA sort; None disables the
     # route.  Set per generation by hardware measurement ONLY (the
-    # flagship crossover; benches/hw_crossover.py + hw_r5_campaign1/2 —
-    # the flat oracle pads non-pow2 sorts toward the next power of two,
-    # so everything STRICTLY ABOVE 2^27 routes native on v5e: measured
-    # wins 265.9 vs 270.0 at 2^27+2^20, 285.6 vs 320.0 at 2^27+2^25,
-    # 328.5 vs 372.3 at 3*2^26, 441.4 vs 469.7 at 2^28; pow2 2^27 itself
-    # loses 2% and 3*2^25 loses 5.7%, so the threshold is (1<<27)+1).
+    # flagship crossover).  v5e: 2^27 INCLUSIVE — the hierarchical cuts
+    # flipped the pow2-2^27 loss to a 6.3% win (194.9 vs 208.1,
+    # hw_r5_campaign9 P2); non-pow2 sizes above it win up to 1.26x
+    # (flat pads toward the next pow2 — campaign1/2 F rows), 391.6 vs
+    # 469.7 at 2^28; pow2 2^26 still loses (106.0 vs 93.0, campaign10
+    # F2) and keys' 3*2^25 edge is noise-level, so no keys non-pow2
+    # band is routed.
     rangesweep_min: int | None = None
     # rangesweep phase-1 chunk length.  Round 4 measured 2^23 (441.4 ms
     # at 2^28); the round-5 hierarchical cuts removed the ~K^2 phase-2
@@ -407,11 +408,9 @@ class RoutingParameters:
     rangesweep_seg_elems: int = 1 << 21
     # smallest STABLE-PAIRS n AUTO routes through the pairs rangesweep
     # (ops/rangesweep.sort_pairs_rangesweep — index-plane 2-key form);
-    # None disables.  The pairs crossover sits BELOW the keys one on v5e
-    # because the flat oracle's 3-operand working set spills much
-    # earlier (2^28 flat stable pairs: 1308.5 ms vs keys' 469.7 —
-    # benches/logs/hw_pairs_probe_r4.log); set per generation by
-    # hardware measurement only (benches/hw_pairs_rangesweep.py).
+    # None disables.  v5e: 2^27 inclusive (546.2 vs 585.9 at pow2 2^27,
+    # hw_r5_campaign9 P2; 1099.9 vs 1305.5 at 2^28), with an additional
+    # NON-pow2 band from 3*2^25 (rangesweep_min_pairs_nonpow2 below).
     rangesweep_min_pairs: int | None = None
     # pairs phase-1 chunk length: with the hierarchical cuts the winner
     # moved 2^22 -> 2^21 like keys (2^28 end-to-end: 1099.9 ms at 2^21
@@ -453,27 +452,18 @@ class RoutingParameters:
 
 _ROUTING_TABLE = {
     # v5e: all values hardware-measured (round-3 campaign; rangesweep
-    # crossover rounds 4-5).  KEYS: the flat oracle pads non-pow2 sorts
-    # toward the next pow2, so the crossover is (1<<27)+1 — wins 265.9
-    # vs 270.0 at 2^27+2^20, 285.6 vs 320.0 at 2^27+2^25, 328.5 vs 372.3
-    # at 3*2^26, 441.4 vs 469.7 at 2^28; loses 212.8 vs 208.6 at pow2
-    # 2^27 exactly and 173.3 vs 163.9 at 3*2^25 (hw_rangesweep12_r4,
-    # hw_crossover_r4, hw_r5_campaign1/2 logs).  PAIRS: wins 1201.6 vs
-    # 1305.5 ms at 2^28 seg 2^22 (hw_pairs_rangesweep_r4.log); pow2 2^27
-    # is a 0.5% tie (584.0 vs 586.8, hw_r5_campaign1 A) but the same
-    # non-pow2 padding mechanism as keys flips everything strictly above
-    # it: 897.7 vs 1049.1 at 3*2^26, 744.9 vs 910.6 at 2^27+2^25
-    # (hw_r5_campaign3.log L rows) -> (1<<27)+1.  WIDE (64-bit payload,
-    # 4-plane): 1535.9 vs 1710.0 at 2^28 seg 2^22 (campaign3 K); the
-    # 2^27 band is unmeasured, so the threshold stays 2^28.  ARGSORT
-    # (2-plane): 877.0 vs 1314.8 at 2^28 and 430.4 vs 586.4 at pow2 2^27
-    # (campaign3 J) — wins INCLUDE the pow2 sizes (one plane fewer than
-    # the flat 2-op oracle everywhere); campaign-4 J2 rows extend the
-    # sweep down: 211.4 vs 259.9 at 2^26, 320.8 vs 467.4 at 3*2^25,
-    # 105.8 vs 115.3 at 2^25 — threshold 2^25, floor probed at 2^24 in
-    # campaign 5.  WIDE non-pow2 follows the keys/pairs mechanism:
-    # 1145.8 vs 1356.4 at 3*2^26, 951.4 vs 1177.3 at 2^27+2^25
-    # (campaign-4 K2) -> (1<<27)+1.
+    # crossovers rounds 4-5; ledger in benches/RESULTS.md round-5
+    # campaign sections + docs/COST_SHEETS.md Sheets 3-5).
+    # KEYS 2^27 inclusive: the hierarchical cuts flipped the pow2-2^27
+    # loss to 194.9 vs 208.1 (campaign9 P2); 391.6 vs 469.7 at 2^28
+    # (campaign9 Z); pow2 2^26 loses (campaign10 F2).
+    # PAIRS 2^27 inclusive (546.2 vs 585.9 at 2^27; 1099.9 vs 1305.5 at
+    # 2^28) + the NON-pow2 band from 3*2^25 (431.0 vs 468.0 — flat pads
+    # non-pow2 toward the next pow2; pow2 2^26 loses 283.4 vs 260.7).
+    # WIDE (64-bit payload, 4-plane) 2^27 inclusive (689.9 vs 761.7 at
+    # 2^27, campaign10 K3; 1390.2 vs 1710.0 at 2^28, campaign6 V).
+    # ARGSORT (2-plane) 2^25 (105.8 vs 115.3 at 2^25, campaign4 J2;
+    # 803.2 vs 1314.8 at 2^28, campaign5 R; ties flat at 2^24).
     "v5e": RoutingParameters(rangesweep_min=1 << 27,
                              rangesweep_min_pairs=1 << 27,
                              rangesweep_min_pairs_nonpow2=3 << 25,

@@ -46,13 +46,15 @@ from . import bitonic, xla_sort
 def is_native() -> bool:
     """True when AUTO's flagship route runs through a native Pallas stage.
 
-    Round-4 status (v5e): TRUE — AUTO's keys-only route at/above
-    `RoutingParameters.rangesweep_min` is the rangesweep engine
-    (ops/rangesweep.py): exact-splitter range exchange whose hot
-    exchange stage is the native Pallas DMA relocate kernel.  Measured
-    441.4 ms at 2^28 vs the flat XLA sort's 469.7 in the same process —
-    the first composition to BEAT the oracle (campaign:
-    docs/COST_SHEETS.md Sheet 3, benches/RESULTS.md round-4 section).
+    Round-5 status (v5e): TRUE — AUTO's routes at/above the measured
+    `RoutingParameters.rangesweep_min*` crossovers run the rangesweep
+    engine (ops/rangesweep.py): exact-splitter range exchange whose hot
+    exchange stage is the native Pallas DMA relocate kernel, with
+    hierarchical cuts since round 5.  Measured at 2^28: keys 391.6 ms
+    vs the flat XLA sort's 469.7 (1.20x), pairs 1099.9 vs 1305.5,
+    argsort 803.2 vs 1314.8, wide 1390.2 vs 1710.0 (campaigns:
+    docs/COST_SHEETS.md Sheets 3-5, benches/RESULTS.md round-5
+    sections).
 
     The walls the round-3 convergence claim measured still stand for the
     OTHER engine families — they bound what any fully-in-kernel engine

@@ -401,8 +401,9 @@ def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
     program per bucket, direct HBM->HBM async copies, each dynamic-length
     range binary-decomposed into static-size power-of-two copies
     (hw_dma_bw.py: static-size DMA streams ~250 GB/s; dynamic-size copies
-    take a ~7x slower path).  End-to-end 441.4 ms at 2^28 seg 2^23
-    (hw_rangesweep12_r4.log) — the shipping configuration.
+    take a ~7x slower path).  End-to-end 391.6 ms at 2^28 seg 2^21 with
+    the hierarchical cuts (hw_r5_campaign9.log; 441.4 at the round-4
+    seg 2^23) — the shipping configuration.
 
     method="gather" (probe/fallback, measured LOSER): ONE whole-array XLA
     row gather — fringe slabs appended below the source rows, a
