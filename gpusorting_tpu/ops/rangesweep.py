@@ -383,40 +383,16 @@ def _build_relocate(rows_out: int, K: int, l_rows: int,
     return call
 
 
-def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
-                    interpret: bool,
-                    method: str = "dma") -> tuple:
-    """Move each (chunk i, bucket b) contiguous range into bucket b's
-    dense L-element region, for every u32 plane in `planes` (1 for keys;
-    3 for the pairs pipeline: codes + index + payload; 4 for 64-bit
-    payloads: codes + index + lo + hi — the control plan is computed
-    ONCE from the key bounds and reused per plane; the relocate kernel
-    build is shape-cached so extra planes reuse the same compiled
-    kernel).  The <=254-element range-edge fringes are
-    gathered DENSELY into one slab per bucket (one small XLA gather);
-    bulk*128 + fringes == L, so the slab is the exact row-aligned fill
-    after the bucket's packed bulk rows.
+def _exchange_prep(planes: tuple, bounds: jnp.ndarray, K: int, L: int):
+    """XLA-side preparation for the range exchange: the SMEM control
+    table and the densely-packed per-bucket fringe slabs, computed once
+    from the key-plane bounds and shared by every relocate core.
 
-    method="dma" (the MEASURED DEFAULT): the Pallas relocate — one
-    program per bucket, direct HBM->HBM async copies, each dynamic-length
-    range binary-decomposed into static-size power-of-two copies
-    (hw_dma_bw.py: static-size DMA streams ~250 GB/s; dynamic-size copies
-    take a ~7x slower path).  End-to-end 391.6 ms at 2^28 seg 2^21 with
-    the hierarchical cuts (hw_r5_campaign9.log; 441.4 at the round-4
-    seg 2^23) — the shipping configuration.
-
-    method="gather" (probe/fallback, measured LOSER): ONE whole-array XLA
-    row gather — fringe slabs appended below the source rows, a
-    device-computed (rows,) map pulls every output row.  The isolated
-    20.5 ms probe number (hw_rowgather_probe.py) was CONSTANT-index
-    specialization; with real dynamic indices the gather runs
-    ~1.2 Gelem/s and the end-to-end measured 630 ms at 2^28
-    (hw_rangesweep7_r4.log, RESULTS.md r4e).  Kept as the
-    structure-isolating probe arm, not a route.
-
-    Returns a tuple of flat (N,) u32 arrays: K dense buckets of exactly
-    L elements per plane, all planes moved by the identical plan.
-    """
+    Returns (ctrl, fringes, aux) where ctrl is the flat i32 control
+    vector (a0 | dst | nr | bulk, output-major), fringes is one
+    (K*slab_rows, LANES) u32 slab array per plane, and aux =
+    (a0, nr_bi, bulk_rows_b) carries the row-map intermediates the
+    "gather" probe arm rebuilds its index map from."""
     N = K * L
     rows_total = N // LANES
     l_rows = L // LANES
@@ -486,6 +462,49 @@ def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
         dimension=1, num_keys=1)
     fringes = tuple(s.reshape(K * slab_rows, LANES)
                     for s in sorted_slab[1:])
+    return ctrl, fringes, (a0, nr_bi, bulk_rows_b)
+
+
+def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
+                    interpret: bool,
+                    method: str = "dma") -> tuple:
+    """Move each (chunk i, bucket b) contiguous range into bucket b's
+    dense L-element region, for every u32 plane in `planes` (1 for keys;
+    3 for the pairs pipeline: codes + index + payload; 4 for 64-bit
+    payloads: codes + index + lo + hi — the control plan is computed
+    ONCE from the key bounds and reused per plane; the relocate kernel
+    build is shape-cached so extra planes reuse the same compiled
+    kernel).  The <=254-element range-edge fringes are
+    gathered DENSELY into one slab per bucket (one small XLA gather);
+    bulk*128 + fringes == L, so the slab is the exact row-aligned fill
+    after the bucket's packed bulk rows.
+
+    method="dma" (the MEASURED DEFAULT): the Pallas relocate — one
+    program per bucket, direct HBM->HBM async copies, each dynamic-length
+    range binary-decomposed into static-size power-of-two copies
+    (hw_dma_bw.py: static-size DMA streams ~250 GB/s; dynamic-size copies
+    take a ~7x slower path).  End-to-end 391.6 ms at 2^28 seg 2^21 with
+    the hierarchical cuts (hw_r5_campaign9.log; 441.4 at the round-4
+    seg 2^23) — the shipping configuration.
+
+    method="gather" (probe/fallback, measured LOSER): ONE whole-array XLA
+    row gather — fringe slabs appended below the source rows, a
+    device-computed (rows,) map pulls every output row.  The isolated
+    20.5 ms probe number (hw_rowgather_probe.py) was CONSTANT-index
+    specialization; with real dynamic indices the gather runs
+    ~1.2 Gelem/s and the end-to-end measured 630 ms at 2^28
+    (hw_rangesweep7_r4.log, RESULTS.md r4e).  Kept as the
+    structure-isolating probe arm, not a route.
+
+    Returns a tuple of flat (N,) u32 arrays: K dense buckets of exactly
+    L elements per plane, all planes moved by the identical plan.
+    """
+    N = K * L
+    rows_total = N // LANES
+    l_rows = L // LANES
+    slab_rows = 2 * K
+    ctrl, fringes, (a0, nr_bi, bulk_rows_b) = _exchange_prep(
+        planes, bounds, K, L)
 
     if method == "gather":
         # out row q of bucket b: bulk rows pull from chunk
