@@ -102,12 +102,14 @@ def _exact_cuts(x2: jnp.ndarray, K: int, L: int,
                 return_splitters: bool = False):
     """(K, K+1) per-chunk cut positions making bucket b exactly L elements.
 
-    x2 is (K, L) with sorted u32 rows.  32-step bisection over the value
-    space finds, per boundary b, the value v_b whose equal run straddles
-    global rank (b+1)*L; counts below v_b come from per-chunk binary
-    searches (jnp.searchsorted on sorted rows — K*(K-1) queries per step,
-    not per element), and the run itself is split by count in chunk order.
+    x2 is (K, L) (or any chunk-major reshape of it) with sorted u32
+    chunks.  32-step bisection over the value space finds, per boundary
+    b, the value v_b whose equal run straddles global rank (b+1)*L;
+    counts below v_b come from per-chunk binary searches
+    (jnp.searchsorted on sorted rows — K*(K-1) queries per step, not per
+    element), and the run itself is split by count in chunk order.
     """
+    x2 = x2.reshape(K, L)
     targets = jnp.arange(1, K, dtype=jnp.int32) * jnp.int32(L)  # (K-1,)
 
     def ranks(v, side):
@@ -496,8 +498,12 @@ def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
     (hw_rangesweep7_r4.log, RESULTS.md r4e).  Kept as the
     structure-isolating probe arm, not a route.
 
-    Returns a tuple of flat (N,) u32 arrays: K dense buckets of exactly
-    L elements per plane, all planes moved by the identical plan.
+    Accepts planes in any chunk-major shape (flat (N,) or
+    (K, l_rows, LANES)); returns a tuple of (rows_total, LANES) u32
+    arrays — K dense buckets of exactly L elements per plane, all planes
+    moved by the identical plan.  Keeping the row-major 2-D shape at the
+    phase boundaries lets the mapped phase-3 sorts consume the buckets
+    without the hidden (K, L) relayout (campaign 12).
     """
     N = K * L
     rows_total = N // LANES
@@ -526,13 +532,13 @@ def _range_exchange(planes: tuple, bounds: jnp.ndarray, K: int, L: int,
         return tuple(
             jnp.take(jnp.concatenate(
                 [p.reshape(rows_total, LANES), f], axis=0),
-                g, axis=0).reshape(-1)
+                g, axis=0)
             for p, f in zip(planes, fringes))
 
     reloc = _build_relocate(rows_total, K, l_rows, slab_rows, interpret)
     return tuple(
         reloc(ctrl, p.reshape(rows_total, LANES).view(jnp.int32),
-              f.view(jnp.int32)).view(jnp.uint32).reshape(-1)
+              f.view(jnp.int32)).view(jnp.uint32)
         for p, f in zip(planes, fringes))
 
 
@@ -584,39 +590,47 @@ def sort_codes_rangesweep(codes: jnp.ndarray,
 
     from . import xla_sort
 
-    # phase 1: mapped VMEM-resident chunk sorts (row heads ride out
-    # fused — the hier cuts consume them without touching the big array)
-    def _p1(r):
-        s = xla_sort.sort_all_keys_unstable((r,))[0]
-        return s, s.reshape(-1, LANES)[:, 0]
+    l_rows = L // LANES
 
-    x2, heads = jax.lax.map(_p1, x.reshape(K, L))
-    # phase 2: exact cuts + range exchange (dense buckets, flat (N,))
+    # phase 1: mapped VMEM-resident chunk sorts (row heads ride out
+    # fused — the hier cuts consume them without touching the big array).
+    # Map bodies take/return (l_rows, LANES) chunk SHAPES and flatten
+    # in-VMEM: the flat (K, L) form tiles its last two dims so chunks
+    # interleave in memory, and every map boundary pays a hidden ~38 ms
+    # HBM relayout per pass at 2^28 (campaign 12: D0 flat 177.9 ms vs
+    # D4 2-D-body 139.5 ms per mapped pass; hw_r5_campaign12.log).
+    def _p1(r2):
+        s = xla_sort.sort_all_keys_unstable((r2.reshape(-1),))[0]
+        s2 = s.reshape(l_rows, LANES)
+        return s2, s2[:, 0]
+
+    x2, heads = jax.lax.map(_p1, x.reshape(K, l_rows, LANES))
+    # phase 2: exact cuts + range exchange (dense buckets)
     bounds, v = _cuts(x2, K, L, method=cuts, heads=heads,
                       return_splitters=True)
-    (out,) = _range_exchange((x2.reshape(-1),), bounds, K, L, interpret,
+    (out,) = _range_exchange((x2,), bounds, K, L, interpret,
                              method=method)
 
     # phase 3: mapped dense-bucket sorts — the same shape as phase 1.
     # Interior bucket b is provably constant iff v[b-1] == v[b] (its
     # first element >= the left splitter, its last IS the right one);
     # edge buckets stay conservative (always sorted).
+    def _sort_chunk(r2):
+        return xla_sort.sort_all_keys_unstable(
+            (r2.reshape(-1),))[0].reshape(l_rows, LANES)
+
     def _plain(o):
-        return jax.lax.map(
-            lambda r: xla_sort.sort_all_keys_unstable((r,))[0],
-            o.reshape(K, L))
+        return jax.lax.map(_sort_chunk, o.reshape(K, l_rows, LANES))
 
     if entropy_skip and K > 2:
         flags = jnp.zeros((K,), jnp.bool_).at[1:K - 1].set(v[:-1] == v[1:])
 
         def _skipping(o):
             def _p3(t):
-                r, f = t
-                return jax.lax.cond(
-                    f, lambda rr: rr,
-                    lambda rr: xla_sort.sort_all_keys_unstable((rr,))[0], r)
+                r2, f = t
+                return jax.lax.cond(f, lambda rr: rr, _sort_chunk, r2)
 
-            return jax.lax.map(_p3, (o.reshape(K, L), flags))
+            return jax.lax.map(_p3, (o.reshape(K, l_rows, LANES), flags))
 
         frac_hi = (jnp.sum(flags[1:K - 1].astype(jnp.int32))
                    >= jnp.int32(int(0.9 * (K - 2))))
@@ -730,24 +744,31 @@ def sort_pairs_rangesweep_planes(codes: jnp.ndarray, planes: tuple,
             jnp.concatenate([p, jnp.zeros((N - n,), jnp.uint32)])
             for p in planes)
     idx = jax.lax.iota(jnp.uint32, N)
+    l_rows = L // LANES
 
     sort2 = lambda t: jax.lax.sort(t, num_keys=2, is_stable=False)
+
+    def _sort_chunk(t):
+        # (l_rows, LANES) plane chunks; flatten in-VMEM (campaign 12:
+        # flat (K, L) map boundaries pay a hidden HBM relayout per pass)
+        s = sort2(tuple(a.reshape(-1) for a in t))
+        return tuple(a.reshape(l_rows, LANES) for a in s)
 
     # phase 1: mapped VMEM-resident (code, index, payload...) chunk sorts
     # (code-plane row heads ride out fused for the hier cuts)
     def _p1(t):
-        s = sort2(t)
-        return s, s[0].reshape(-1, LANES)[:, 0]
+        s2 = _sort_chunk(t)
+        return s2, s2[0][:, 0]
 
     p1, heads = jax.lax.map(
-        _p1, (k.reshape(K, L), idx.reshape(K, L))
-        + tuple(p.reshape(K, L) for p in planes))
+        _p1, tuple(p.reshape(K, l_rows, LANES)
+                   for p in (k, idx) + tuple(planes)))
     # phase 2: exact cuts from the key plane; one plan moves all planes
     bounds = _cuts(p1[0], K, L, method=cuts, heads=heads)
-    ex = _range_exchange(tuple(p.reshape(-1) for p in p1),
-                         bounds, K, L, interpret, method=method)
+    ex = _range_exchange(p1, bounds, K, L, interpret, method=method)
     # phase 3: mapped two-key bucket sorts reconstruct the stable order
-    p3 = jax.lax.map(sort2, tuple(p.reshape(K, L) for p in ex))
+    p3 = jax.lax.map(
+        _sort_chunk, tuple(p.reshape(K, l_rows, LANES) for p in ex))
     tail = 1 if return_index else 2
     return (p3[0].reshape(-1)[:n],) + tuple(
         p.reshape(-1)[:n] for p in p3[tail:])
