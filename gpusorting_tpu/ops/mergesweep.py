@@ -344,10 +344,22 @@ def merge_sort_network_i32(
     flip = ((jax.lax.iota(jnp.int32, N) >> (L.bit_length() - 1)) & 1) != 0
     prep = [jnp.where(flip, ~y, y) if i < num_keys else y
             for i, y in enumerate(padded)]
-    stacked = tuple(y.reshape(K, L) for y in prep)
+    # 3-D (l_rows, LANES) map bodies dodge the flat (K, L) boundary
+    # relayout (campaign 12/14 mechanism; L is a power of two >= LANES
+    # whenever K > 1 here, but keep the flat fallback for tiny L)
+    if L % LANES == 0:
+        lr = L // LANES
+        stacked = tuple(y.reshape(K, lr, LANES) for y in prep)
 
-    def seg_sort(args):
-        return jax.lax.sort(args, num_keys=num_keys, is_stable=False)
+        def seg_sort(args):
+            s = jax.lax.sort(tuple(a.reshape(-1) for a in args),
+                             num_keys=num_keys, is_stable=False)
+            return tuple(a.reshape(lr, LANES) for a in s)
+    else:
+        stacked = tuple(y.reshape(K, L) for y in prep)
+
+        def seg_sort(args):
+            return jax.lax.sort(args, num_keys=num_keys, is_stable=False)
 
     res = jax.lax.map(seg_sort, stacked)
     flat = [y.reshape(N) for y in (res if isinstance(res, tuple) else (res,))]

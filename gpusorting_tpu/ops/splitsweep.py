@@ -151,7 +151,11 @@ def sort_codes_splitsweep(codes: jnp.ndarray, tile_rows: int | None = None,
         in_idx = jax.lax.broadcasted_iota(jnp.int32, (NBUCKETS, cap), 1)
         valid = in_idx < counts[:, None]
         regions = jnp.where(valid, regions, _SENTINEL)
-        sorted_regions = jax.lax.map(sub_sort, regions)
+        # (cap_rows, LANES) map bodies dodge the flat (16, cap) boundary
+        # relayout (campaign 12/14 mechanism); cap is always row-aligned
+        sorted_regions = jax.lax.map(
+            lambda r2: sub_sort(r2.reshape(-1)).reshape(cap_rows, LANES),
+            regions.reshape(NBUCKETS, cap_rows, LANES))
         packed, _cnt = stitch.compact(
             sorted_regions.reshape(-1), valid.reshape(-1),
             interpret=interpret)
@@ -231,12 +235,17 @@ def sort_stable_with_splitsweep(codes: jnp.ndarray, *ride: jnp.ndarray,
         kreg = jnp.where(valid, kreg, _SENTINEL)
 
         def sub_sort(args2):
+            # (cap_rows, LANES) bodies — see the keys path note
             iota = jax.lax.iota(jnp.int32, cap)
-            res = jax.lax.sort((args2[0], iota) + tuple(args2[1:]),
+            flat = tuple(a.reshape(-1) for a in args2)
+            res = jax.lax.sort((flat[0], iota) + flat[1:],
                                num_keys=2, is_stable=False)
-            return (res[0],) + tuple(res[2:])
+            return tuple(a.reshape(cap_rows, LANES)
+                         for a in (res[0],) + tuple(res[2:]))
 
-        sorted_regions = jax.lax.map(sub_sort, (kreg,) + pregs)
+        sorted_regions = jax.lax.map(
+            sub_sort, tuple(a.reshape(NBUCKETS, cap_rows, LANES)
+                            for a in (kreg,) + pregs))
         packed, _cnt = stitch.compact_ops(
             tuple(s.reshape(-1) for s in sorted_regions),
             valid.reshape(-1), interpret=interpret)

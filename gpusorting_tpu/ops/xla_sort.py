@@ -148,6 +148,47 @@ def map_rows_min(has_payload: bool) -> int:
     return r.map_rows_min_pairs if has_payload else r.map_rows_min_keys
 
 
+def map_rows_sort(ops: tuple, keys_only_unstable: bool) -> tuple:
+    """`lax.map` of per-row sorts over (S, L) operand rows, the giant-row
+    form beyond `map_rows_min`.  When L % 128 == 0 the map bodies
+    take/return (l_rows, 128) chunk SHAPES and flatten in-VMEM: the flat
+    (S, L) map boundary makes XLA relayout the tiled buffer around every
+    pass (TPU tiles the last two dims, interleaving rows), measured
+    ~18% of the mapped pass at giant L (campaign 14 G rows: 16 x 2^24
+    keys 178.6 vs 216.5 ms; 16 x 2^20 pairs 23.7 vs 27.5 —
+    benches/logs/hw_r5_campaign14.log; same mechanism as the flagship's
+    3-D phase boundaries, hw_r5_campaign12.log D rows).  Non-multiples
+    of 128 keep the flat bodies.
+
+    keys_only_unstable=True sorts ops[0] alone via the unstable all-keys
+    form (equal u32 codes interchangeable); otherwise one stable
+    num_keys=1 sort moves all trailing operands.  Returns (S, L) outputs.
+    """
+    S, L = ops[0].shape
+    if L % 128 == 0:
+        lr = L // 128
+        if keys_only_unstable:
+            def body(r2):
+                return sort_all_keys_unstable(
+                    (r2.reshape(-1),))[0].reshape(lr, 128)
+
+            sk = jax.lax.map(body, ops[0].reshape(S, lr, 128))
+            return (sk.reshape(S, L),)
+
+        def body(t):
+            s = jax.lax.sort(tuple(a.reshape(-1) for a in t),
+                             num_keys=1, is_stable=True)
+            return tuple(a.reshape(lr, 128) for a in s)
+
+        res = jax.lax.map(body, tuple(a.reshape(S, lr, 128) for a in ops))
+        return tuple(a.reshape(S, L) for a in res)
+    if keys_only_unstable:
+        return (jax.lax.map(
+            lambda r: sort_all_keys_unstable((r,))[0], ops[0]),)
+    return tuple(jax.lax.map(
+        lambda t: jax.lax.sort(t, num_keys=1, is_stable=True), ops))
+
+
 def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
                  order: Order = Order.ASCENDING):
     """Sort each row of a 2-D (S, L) array independently (stable per row).
@@ -164,7 +205,7 @@ def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
     L = codes.shape[1]
     if values is None:
         if L >= map_rows_min(False):
-            sk = jax.lax.map(lambda r: sort_all_keys_unstable((r,))[0], codes)
+            (sk,) = map_rows_sort((codes,), True)
         else:
             (sk,) = sort_all_keys_unstable((codes,), dimension=1)
         out = codec.decode_keys(sk, kt)
@@ -173,9 +214,7 @@ def sort_batched(keys: jnp.ndarray, values: jnp.ndarray | None = None,
         return out
     bits = codec.payload_to_bits(values)
     if L >= map_rows_min(True):
-        sk, sb = jax.lax.map(
-            lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
-            (codes, bits))
+        sk, sb = map_rows_sort((codes, bits), False)
     else:
         sk, sb = jax.lax.sort((codes, bits), num_keys=1, is_stable=True,
                               dimension=1)

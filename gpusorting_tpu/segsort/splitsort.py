@@ -204,16 +204,13 @@ def _batched_segmented_sort(codes, payload_bits, seg_count: int, L: int):
     if payload_bits is None:
         # keys-only on bare codes: the all-keys invariant holds
         if L >= xla_sort.map_rows_min(False):
-            sk = jax.lax.map(
-                lambda r: xla_sort.sort_all_keys_unstable((r,))[0], k2)
+            (sk,) = xla_sort.map_rows_sort((k2,), True)
         else:
             (sk,) = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
         return sk.reshape(-1), None
     v2 = payload_bits.reshape(seg_count, L)
     if L >= xla_sort.map_rows_min(True):
-        sk, sv = jax.lax.map(
-            lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
-            (k2, v2))
+        sk, sv = xla_sort.map_rows_sort((k2, v2), False)
     else:
         sk, sv = jax.lax.sort((k2, v2), num_keys=1, is_stable=True,
                               dimension=1)
@@ -667,17 +664,14 @@ def _padded_rows_class_sort(codes, payloads: tuple, cls: dict, n: int):
     p2 = tuple(e.reshape(S_c, B) for e in exp[1:])
     if payloads:
         if B >= xla_sort.map_rows_min(True):
-            res = jax.lax.map(
-                lambda ab: jax.lax.sort(ab, num_keys=1, is_stable=True),
-                (k2,) + p2)
+            res = xla_sort.map_rows_sort((k2,) + p2, False)
         else:
             res = jax.lax.sort((k2,) + p2, num_keys=1, is_stable=True,
                                dimension=1)
     else:
         # keys-only on bare codes: unstable == stable (values identical)
         if B >= xla_sort.map_rows_min(False):
-            res = (jax.lax.map(
-                lambda r: xla_sort.sort_all_keys_unstable((r,))[0], k2),)
+            res = xla_sort.map_rows_sort((k2,), True)
         else:
             res = xla_sort.sort_all_keys_unstable((k2,), dimension=1)
     flat = tuple(x.reshape(-1) for x in res)
@@ -1003,9 +997,7 @@ def split_sort_pairs_wide(
         S = total_seg_count
         ops3 = (codes.reshape(S, L), lo32.reshape(S, L), hi32.reshape(S, L))
         if L >= xla_sort.map_rows_min(True):
-            sc, slo, shi = jax.lax.map(
-                lambda abc: jax.lax.sort(abc, num_keys=1, is_stable=True),
-                ops3)
+            sc, slo, shi = xla_sort.map_rows_sort(ops3, False)
         else:
             sc, slo, shi = jax.lax.sort(ops3, num_keys=1, is_stable=True,
                                         dimension=1)
